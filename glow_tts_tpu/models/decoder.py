@@ -1,0 +1,261 @@
+"""Normalizing-flow mel decoder (Glow): squeeze → [ActNorm → invertible
+1×1 conv → WaveNet affine coupling] × K → unsqueeze.
+
+Behaviour surface of the reference ``Modules.py:286-924``:
+
+* time-squeeze by ``num_squeeze`` folding adjacent frames into channels
+  (``Modules.py:890-907``); squeezed mask subsamples the last frame of each
+  group; sequence truncated to a multiple of ``num_squeeze``
+* ActNorm with **data-dependent initialisation** from the first batch's
+  masked statistics (``Modules.py:670-711``).  Here that is expressed
+  functionally: the parameter *initialisers* close over the first input, so
+  one ``model.init`` on a real batch performs Glow's init exactly, and
+  checkpoint restore trivially preserves it (no mutable ``initialized``
+  flag as in the reference / ``Train.py:527-528``)
+* invertible 1×1 conv over ``num_split`` channel groups with the reference's
+  interleaved regrouping, QR-orthogonal init with det > 0
+  (``Modules.py:713-758``); the reverse pass inverts the 4×4 on the fly
+* affine coupling on the channel halves through a 4-layer non-dilated gated
+  WaveNet (k5) with per-layer 1×1 conditioning projections for
+  speaker / prosody / pitch, zero-initialised output projection
+  (``Modules.py:760-887``)
+* log-determinants are accumulated in float32 regardless of compute dtype —
+  they feed the exact-likelihood loss
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glow_tts_tpu.config import Config
+from glow_tts_tpu.models.layers import Conv1d, WNConv1d
+
+
+def squeeze(x: jax.Array, mask: Optional[jax.Array],
+            num_squeeze: int) -> Tuple[jax.Array, jax.Array]:
+    """[B, T, C] → [B, T//s, s·C] folding time into channels (offset-major,
+    channel-minor grouping, matching the reference layout)."""
+    b, t, c = x.shape
+    t = (t // num_squeeze) * num_squeeze
+    x = x[:, :t].reshape(b, t // num_squeeze, num_squeeze * c)
+    if mask is not None:
+        mask = mask[:, num_squeeze - 1:t:num_squeeze]
+    else:
+        mask = jnp.ones((b, t // num_squeeze, 1), x.dtype)
+    return x * mask, mask
+
+
+def unsqueeze(x: jax.Array, mask: Optional[jax.Array],
+              num_squeeze: int) -> Tuple[jax.Array, jax.Array]:
+    """Inverse of :func:`squeeze`."""
+    b, t, c = x.shape
+    x = x.reshape(b, t * num_squeeze, c // num_squeeze)
+    if mask is not None:
+        mask = jnp.broadcast_to(mask[:, :, None, :],
+                                (b, t, num_squeeze, 1)
+                                ).reshape(b, t * num_squeeze, 1)
+    else:
+        mask = jnp.ones((b, t * num_squeeze, 1), x.dtype)
+    return x * mask, mask
+
+
+class ActNorm(nn.Module):
+    """Per-channel affine with masked data-dependent init."""
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, reverse: bool = False):
+        def stats():
+            xf = x.astype(jnp.float32)
+            m = mask.astype(jnp.float32)
+            denom = jnp.maximum(m.sum(), 1.0)
+            mean = (xf * m).sum(axis=(0, 1)) / denom
+            var = (xf * xf * m).sum(axis=(0, 1)) / denom - mean ** 2
+            logs = 0.5 * jnp.log(jnp.clip(var, 1e-7))
+            return mean, logs
+
+        logs = self.param('logs', lambda _: -stats()[1], )
+        bias = self.param(
+            'bias', lambda _: -stats()[0] * jnp.exp(stats()[1] * -1.0))
+
+        dt = self.dtype or x.dtype
+        if reverse:
+            z = (x - bias.astype(dt)) * jnp.exp(-logs).astype(dt) * mask
+            logdet = None
+        else:
+            z = (bias.astype(dt) + jnp.exp(logs).astype(dt) * x) * mask
+            logdet = (logs.astype(jnp.float32).sum()
+                      * mask.astype(jnp.float32).sum(axis=(1, 2)))
+        return z, logdet
+
+
+class InvertibleConv(nn.Module):
+    """Channel-grouped invertible 1×1 convolution."""
+    num_split: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, reverse: bool = False):
+        s = self.num_split
+        b, t, c = x.shape
+        assert s % 2 == 0 and c % s == 0
+
+        def orthogonal_init(rng):
+            w = jnp.linalg.qr(
+                jax.random.normal(rng, (s, s), jnp.float32))[0]
+            # enforce det(W) > 0 so logdet starts real
+            sign = jnp.sign(jnp.linalg.det(w))
+            return w.at[:, 0].multiply(sign)
+
+        weight = self.param('weight', orthogonal_init)
+
+        lengths = mask.astype(jnp.float32).sum(axis=(1, 2))
+        # interleaved regrouping: channel c = (a, m, b') → group g = (a, b')
+        xg = x.reshape(b, t, 2, c // s, s // 2)
+        xg = xg.transpose(0, 1, 2, 4, 3).reshape(b, t, s, c // s)
+
+        if reverse:
+            w = jnp.linalg.inv(weight)
+            logdet = None
+        else:
+            w = weight
+            _, logabsdet = jnp.linalg.slogdet(weight)
+            logdet = logabsdet * (c / s) * lengths
+
+        zg = jnp.einsum('btgm,hg->bthm', xg, w.astype(xg.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        z = zg.reshape(b, t, 2, s // 2, c // s)
+        z = z.transpose(0, 1, 2, 4, 3).reshape(b, t, c)
+        return z * mask, logdet
+
+
+class WaveNet(nn.Module):
+    """Non-dilated gated conv stack with additive global conditioning."""
+    config: Config
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
+                 deterministic: bool = True):
+        cfg = self.config.decoder.affine_coupling
+        ch = cfg.calc_channels
+        n = cfg.wavenet.num_layers
+        output = jnp.zeros_like(x)
+        for i in range(n):
+            ins = WNConv1d(2 * ch, cfg.wavenet.kernel_size,
+                           dtype=self.dtype, name=f'in_{i}')(x)
+            ins = nn.Dropout(cfg.wavenet.dropout_rate)(
+                ins, deterministic=deterministic)
+            if speaker is not None:
+                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                     name=f'speaker_{i}')(
+                    speaker[:, None, :].astype(ins.dtype))
+            if prosody is not None:
+                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                     name=f'prosody_{i}')(
+                    prosody[:, None, :].astype(ins.dtype))
+            if pitch is not None:
+                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                     name=f'pitch_{i}')(pitch)
+            gate = jnp.tanh(ins[..., :ch]) * jax.nn.sigmoid(ins[..., ch:])
+            last = i == n - 1
+            res_skip = WNConv1d(ch if last else 2 * ch, 1,
+                                dtype=self.dtype, name=f'res_skip_{i}')(gate)
+            if last:
+                output = output + res_skip
+            else:
+                x = (x + res_skip[..., :ch]) * mask
+                output = output + res_skip[..., ch:]
+        return output * mask
+
+
+class AffineCoupling(nn.Module):
+    config: Config
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
+                 reverse: bool = False, deterministic: bool = True):
+        cfg = self.config.decoder.affine_coupling
+        c = x.shape[-1]
+        x_a, x_b = x[..., :c // 2], x[..., c // 2:]
+
+        h = WNConv1d(cfg.calc_channels, 1, dtype=self.dtype,
+                     name='start')(x_a) * mask
+        h = WaveNet(self.config, self.dtype, name='wavenet')(
+            h, mask, speaker, prosody, pitch, deterministic)
+        outs = Conv1d(c, 1, kernel_init=nn.initializers.zeros,
+                      dtype=self.dtype, name='end')(h)
+        mean, logs = outs[..., :c // 2], outs[..., c // 2:]
+
+        if reverse:
+            x_b = (x_b - mean) * jnp.exp(-logs) * mask
+            logdet = None
+        else:
+            x_b = (mean + jnp.exp(logs) * x_b) * mask
+            logdet = (logs.astype(jnp.float32)
+                      * mask.astype(jnp.float32)).sum(axis=(1, 2))
+        return jnp.concatenate([x_a, x_b], axis=-1), logdet
+
+
+class FlowStep(nn.Module):
+    """ActNorm → invertible 1×1 → affine coupling (reference ``AIA``,
+    ``Modules.py:653-668``); order reversed on the inverse pass."""
+    config: Config
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
+                 reverse: bool = False, deterministic: bool = True):
+        actnorm = ActNorm(self.dtype, name='actnorm')
+        invconv = InvertibleConv(self.config.decoder.num_split,
+                                 self.dtype, name='invconv')
+        coupling = AffineCoupling(self.config, self.dtype, name='coupling')
+
+        logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
+        if reverse:
+            x, _ = coupling(x, mask, speaker, prosody, pitch,
+                            reverse=True, deterministic=deterministic)
+            x, _ = invconv(x, mask, reverse=True)
+            x, _ = actnorm(x, mask, reverse=True)
+        else:
+            x, ld = actnorm(x, mask)
+            logdet_total += ld
+            x, ld = invconv(x, mask)
+            logdet_total += ld
+            x, ld = coupling(x, mask, speaker, prosody, pitch,
+                             deterministic=deterministic)
+            logdet_total += ld
+        return x, logdet_total
+
+
+class FlowDecoder(nn.Module):
+    """mels ↔ latents.  Forward (training) returns summed log-determinants;
+    reverse (inference) runs the steps backwards."""
+    config: Config
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
+                 reverse: bool = False, deterministic: bool = True):
+        s = self.config.decoder.num_squeeze
+        x, sq_mask = squeeze(x, mask, s)
+        if pitch is not None:
+            pitch, _ = squeeze(pitch[..., None], mask, s)   # [B, T/s, s]
+
+        steps = [
+            FlowStep(self.config, self.dtype, name=f'flow_{i}')
+            for i in range(self.config.decoder.stack)
+        ]
+        logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
+        for step in (reversed(steps) if reverse else steps):
+            x, ld = step(x, sq_mask, speaker, prosody, pitch,
+                         reverse=reverse, deterministic=deterministic)
+            logdet_total += ld
+
+        x, out_mask = unsqueeze(x, sq_mask, s)
+        return x, (None if reverse else logdet_total), out_mask

@@ -1,0 +1,267 @@
+"""GlowTTS top model: mode-shaped wiring of encoder, flow decoder, MAS and
+the conditioning encoders.
+
+Reference surface ``Modules.py:16-229``:
+
+* four modes (``Hyper_Parameters.yaml:18``): Vanilla (none), SE (speaker
+  LUT or frozen GE2E d-vector), PE (GST prosody), GR (speaker + prosody +
+  adversarial classifier + pitch conditioning)
+* train forward: conditioning → encoder prior (mean, log_std, log_dur) →
+  flow z + logdets → prior log-likelihood ``log_P`` (no-grad) → MAS hard
+  alignment → per-frame prior stats + duration targets
+  (``Modules.py:50-126``)
+* inference: durations = ceil(exp(log_dur)·length_scale) → cumsum hard path
+  (``Modules.py:213-229``) → z sampled from the aligned prior → inverse
+  flow → mels, padding filled with −max_abs_mel (``Modules.py:128-204``)
+
+TPU-first differences: channels-last layout, static shapes (caller provides
+the padded mel capacity at inference), MAS runs on-device (Pallas/scan), and
+the nine host synchronisation points of the reference do not exist.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glow_tts_tpu.config import Config
+from glow_tts_tpu.models.conditioning import (
+    GE2ESpeakerEncoder, GSTProsodyEncoder, SpeakerClassifier, SpeakerLUT,
+    interpolate_pitch)
+from glow_tts_tpu.models.decoder import FlowDecoder
+from glow_tts_tpu.models.encoder import TextEncoder
+from glow_tts_tpu.models.layers import sequence_mask
+from glow_tts_tpu.ops import mas as mas_ops
+
+LOG_2PI = 1.8378770664093453  # log(2π)
+
+
+def prior_log_likelihood(mean, log_std, z, attn_mask):
+    """log N(z_j; mean_i, std_i) summed over mel channels, for every
+    (token i, frame j) pair — two MXU matmuls (``Modules.py:107-114``).
+
+    mean, log_std: [B, T_tok, M]; z: [B, T_mel, M];
+    attn_mask: [B, T_tok, T_mel].  Returns [B, T_tok, T_mel] float32.
+    """
+    mean = mean.astype(jnp.float32)
+    log_std = log_std.astype(jnp.float32)
+    z = z.astype(jnp.float32)
+    inv_var = jnp.exp(-2.0 * log_std)                       # [B, T_tok, M]
+    t_const = jnp.sum(-0.5 * LOG_2PI - log_std, axis=-1)    # [B, T_tok]
+    t_mean = jnp.sum(-0.5 * mean * mean * inv_var, axis=-1)  # [B, T_tok]
+    quad = jnp.einsum('bim,bjm->bij', inv_var, -0.5 * z * z,
+                      preferred_element_type=jnp.float32)
+    cross = jnp.einsum('bim,bjm->bij', mean * inv_var, z,
+                       preferred_element_type=jnp.float32)
+    return ((t_const + t_mean)[:, :, None] + quad + cross) * attn_mask
+
+
+def generate_path(durations: jax.Array, attn_mask: jax.Array) -> jax.Array:
+    """Hard alignment from durations via cumulative sums
+    (``Modules.py:213-229``).  durations [B, T_tok]; attn_mask
+    [B, T_tok, T_mel] → path [B, T_tok, T_mel]."""
+    t_mel = attn_mask.shape[-1]
+    cum = jnp.cumsum(durations, axis=1)                     # [B, T_tok]
+    frame = jnp.arange(t_mel)[None, None, :]
+    ends = frame < cum[:, :, None]
+    starts = jnp.pad(ends, ((0, 0), (1, 0), (0, 0)))[:, :-1]
+    return (ends.astype(attn_mask.dtype)
+            - starts.astype(attn_mask.dtype)) * attn_mask
+
+
+class GlowTTS(nn.Module):
+    config: Config
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        cfg = self.config
+        if cfg.uses_speaker_embedding:
+            if cfg.speaker_embedding.type.upper() == 'LUT':
+                self.speaker_lut = SpeakerLUT(cfg)
+            elif cfg.speaker_embedding.type.upper() == 'GE2E':
+                self.ge2e = GE2ESpeakerEncoder(cfg, self.dtype)
+            else:
+                raise ValueError(
+                    f'Unsupported speaker embedding type: '
+                    f'{cfg.speaker_embedding.type}')
+        if cfg.uses_prosody_encoder:
+            self.prosody_encoder = GSTProsodyEncoder(cfg, self.dtype)
+        if cfg.uses_gradient_reversal:
+            self.speaker_classifier = SpeakerClassifier(cfg)
+        self.encoder = TextEncoder(cfg, self.dtype)
+        self.decoder = FlowDecoder(cfg, self.dtype)
+
+    # -- conditioning -------------------------------------------------------
+
+    def _conditions(self, mels, mel_lengths, speakers, mels_for_ge2e,
+                    deterministic, frozen_ge2e=True):
+        cfg = self.config
+        speaker_vec = prosody_vec = classified = None
+        if cfg.uses_speaker_embedding:
+            if cfg.speaker_embedding.type.upper() == 'LUT':
+                speaker_vec = self.speaker_lut(speakers)
+            else:
+                speaker_vec = self.ge2e.embed_utterances(mels_for_ge2e)
+                if frozen_ge2e:   # pre-trained, not updated (Modules.py:77)
+                    speaker_vec = jax.lax.stop_gradient(speaker_vec)
+        if cfg.uses_prosody_encoder:
+            prosody_vec = self.prosody_encoder(
+                mels, mel_lengths, deterministic)
+        if cfg.uses_gradient_reversal and prosody_vec is not None:
+            classified = self.speaker_classifier(prosody_vec)
+        return speaker_vec, prosody_vec, classified
+
+    @staticmethod
+    def _duration_condition(speaker_vec, prosody_vec):
+        """Sum of available conditioning vectors (``Modules.py:606-610``)."""
+        if speaker_vec is None and prosody_vec is None:
+            return None
+        total = 0
+        if speaker_vec is not None:
+            total = total + speaker_vec
+        if prosody_vec is not None:
+            total = total + prosody_vec
+        return total
+
+    # -- training forward ---------------------------------------------------
+
+    def __call__(self,
+                 tokens: jax.Array,           # [B, T_tok] int32
+                 token_lengths: jax.Array,    # [B]
+                 mels: jax.Array,             # [B, T_mel, M]
+                 mel_lengths: jax.Array,      # [B] (multiples of num_squeeze)
+                 speakers: Optional[jax.Array] = None,       # [B] ids
+                 mels_for_ge2e: Optional[jax.Array] = None,  # [B·S, T_sl, M]
+                 pitches: Optional[jax.Array] = None,        # [B, T_mel]
+                 deterministic: bool = True) -> Dict[str, Any]:
+        cfg = self.config
+        speaker_vec, prosody_vec, classified = self._conditions(
+            mels, mel_lengths, speakers, mels_for_ge2e, deterministic)
+        pitch_in = pitches if cfg.uses_gradient_reversal else None
+
+        token_mask = sequence_mask(token_lengths, tokens.shape[1],
+                                   mels.dtype)               # [B, T_tok, 1]
+        mel_mask = sequence_mask(mel_lengths, mels.shape[1], mels.dtype)
+
+        mean, log_std, log_durations = self.encoder(
+            tokens, token_mask,
+            self._duration_condition(speaker_vec, prosody_vec),
+            deterministic)
+        z, log_dets, mel_mask = self.decoder(
+            mels, mel_mask, speaker_vec, prosody_vec, pitch_in,
+            deterministic=deterministic)
+
+        attn_mask = token_mask * mel_mask[:, None, :, 0]     # [B,T_tok,T_mel]
+
+        # MAS is not differentiated through (reference runs it under
+        # no_grad on host); stop-gradient the input statistics.
+        log_p = prior_log_likelihood(
+            jax.lax.stop_gradient(mean), jax.lax.stop_gradient(log_std),
+            jax.lax.stop_gradient(z), attn_mask)
+        backend = cfg.tpu.mas_backend
+        if backend not in ('pallas', 'scan'):
+            backend = 'scan'  # host backends are not jit-compatible
+        if jax.devices()[0].platform != 'tpu' and backend == 'pallas':
+            backend = 'scan'
+        attentions = jax.lax.stop_gradient(mas_ops.maximum_path(
+            log_p, token_lengths, mel_lengths, backend=backend))
+
+        mel_mean = jnp.einsum('bim,bij->bjm', mean,
+                              attentions.astype(mean.dtype),
+                              preferred_element_type=jnp.float32)
+        mel_log_std = jnp.einsum('bim,bij->bjm', log_std,
+                                 attentions.astype(log_std.dtype),
+                                 preferred_element_type=jnp.float32)
+        durations = attentions.sum(axis=-1, keepdims=True)   # [B, T_tok, 1]
+        log_duration_targets = jnp.log(durations + 1e-7) * token_mask
+
+        return {
+            'z': z,
+            'mel_mean': mel_mean,
+            'mel_log_std': mel_log_std,
+            'log_dets': log_dets,
+            'log_durations': log_durations,
+            'log_duration_targets': log_duration_targets,
+            'attentions': attentions,
+            'classified_speakers': classified,
+            'mel_mask': mel_mask,
+        }
+
+    # -- inference ----------------------------------------------------------
+
+    def inference(self,
+                  tokens: jax.Array,
+                  token_lengths: jax.Array,
+                  mels_for_prosody: Optional[jax.Array] = None,
+                  mel_lengths_for_prosody: Optional[jax.Array] = None,
+                  speakers: Optional[jax.Array] = None,
+                  mels_for_ge2e: Optional[jax.Array] = None,
+                  pitches: Optional[jax.Array] = None,
+                  pitch_lengths: Optional[jax.Array] = None,
+                  noise_key: Optional[jax.Array] = None,
+                  noise_scale: float = 1.0,
+                  length_scale=1.0,
+                  max_mel_length: int = 1024) -> Dict[str, Any]:
+        """Static-shape inference: mels are produced into a [B,
+        max_mel_length, M] buffer with per-sample valid lengths (XLA needs
+        the capacity at trace time; the reference materialises a dynamic
+        max, ``Modules.py:173-175``)."""
+        cfg = self.config
+        speaker_vec, prosody_vec, _ = self._conditions(
+            mels_for_prosody, mel_lengths_for_prosody, speakers,
+            mels_for_ge2e, True, frozen_ge2e=False)
+
+        token_mask = sequence_mask(token_lengths, tokens.shape[1])
+        mean, log_std, log_durations = self.encoder(
+            tokens, token_mask,
+            self._duration_condition(speaker_vec, prosody_vec), True)
+
+        length_scale = jnp.asarray(length_scale, jnp.float32)
+        length_scale = jnp.broadcast_to(length_scale.reshape(-1, 1),
+                                        log_durations.shape[:2])
+        durations = jnp.ceil(
+            jnp.exp(log_durations[..., 0].astype(jnp.float32))
+            * token_mask[..., 0] * length_scale)             # [B, T_tok]
+        mel_lengths = jnp.maximum(durations.sum(axis=1), 1.0)
+        mel_lengths = jnp.minimum(mel_lengths, max_mel_length)
+        # keep the squeeze-truncation exact: round down to num_squeeze
+        s = cfg.decoder.num_squeeze
+        mel_lengths = (mel_lengths.astype(jnp.int32) // s) * s
+        mel_lengths = jnp.maximum(mel_lengths, s)
+
+        mel_mask = sequence_mask(mel_lengths, max_mel_length)
+        attn_mask = token_mask * mel_mask[:, None, :, 0]
+        attentions = generate_path(durations, attn_mask)
+
+        mel_mean = jnp.einsum('bim,bij->bjm', mean,
+                              attentions.astype(mean.dtype),
+                              preferred_element_type=jnp.float32)
+        mel_log_std = jnp.einsum('bim,bij->bjm', log_std,
+                                 attentions.astype(log_std.dtype),
+                                 preferred_element_type=jnp.float32)
+
+        if noise_key is None:
+            noise_key = self.make_rng('noise')
+        noise = jax.random.normal(noise_key, mel_mean.shape,
+                                  jnp.float32) * noise_scale
+        z = (mel_mean + jnp.exp(mel_log_std) * noise) * mel_mask
+
+        pitch_in = None
+        if cfg.uses_gradient_reversal and pitches is not None:
+            pitch_in = interpolate_pitch(
+                pitches, pitch_lengths, mel_lengths, max_mel_length)
+
+        mels, _, mel_mask = self.decoder(
+            z.astype(self.dtype or jnp.float32), mel_mask,
+            speaker_vec, prosody_vec, pitch_in, reverse=True)
+        mels = jnp.where(mel_mask > 0, mels, -cfg.sound.max_abs_mel)
+
+        return {
+            'mels': mels,
+            'mel_lengths': mel_lengths,
+            'attentions': attentions,
+            'durations': durations,
+        }

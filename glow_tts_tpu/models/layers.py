@@ -1,0 +1,201 @@
+"""Core neural layers, channels-last ([B, T, C]) for TPU.
+
+The reference keeps PyTorch's channels-first [B, C, T] layout and pays for a
+transpose around every LayerNorm (``Modules.py:485,562``).  Here the channel
+axis is last — the TPU lane dimension — so LayerNorm, matmuls and (1×1)
+convs hit the VPU/MXU without layout churn, and masks broadcast as
+[B, T, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glow_tts_tpu.ops import attention as attn_ops
+
+Dtype = jnp.dtype
+
+
+def sequence_mask(lengths: jax.Array, max_length: int,
+                  dtype=jnp.float32) -> jax.Array:
+    """[B] lengths → [B, T, 1] float mask (cf. ``Modules.py:206-211``,
+    which returns [B, 1, T] for the channels-first layout)."""
+    mask = jnp.arange(max_length)[None, :] < lengths[:, None]
+    return mask[..., None].astype(dtype)
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over the time axis with explicit SAME padding.
+
+    kernel_size 1 lowers to a Dense (pure MXU matmul).
+    """
+    features: int
+    kernel_size: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kernel_size == 1:
+            return nn.Dense(
+                self.features, use_bias=self.use_bias, dtype=self.dtype,
+                kernel_init=self.kernel_init, name='dense')(x)
+        return nn.Conv(
+            self.features, (self.kernel_size,), padding='SAME',
+            use_bias=self.use_bias, dtype=self.dtype,
+            kernel_init=self.kernel_init, name='conv')(x)
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalised conv (torch ``weight_norm`` dim-0 semantics: one
+    magnitude per output channel, direction normalised over (k, in)).
+
+    Used throughout the coupling WaveNet (``Modules.py:766,818,825``).
+    """
+    features: int
+    kernel_size: int = 1
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kshape = (self.kernel_size, x.shape[-1], self.features)
+        v = self.param('v', self.kernel_init, kshape)
+        # g initialised to ‖v‖ so the initial effective kernel equals v
+        g = self.param(
+            'g', lambda _: jnp.sqrt((v.astype(jnp.float32) ** 2)
+                                    .sum(axis=(0, 1))))
+        norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(
+            axis=(0, 1), keepdims=True))
+        kernel = (g[None, None, :] * v / jnp.maximum(norm, 1e-12))
+        if self.dtype is not None:
+            kernel = kernel.astype(self.dtype)
+            x = x.astype(self.dtype)
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1,),
+            padding=[((self.kernel_size - 1) // 2,
+                      self.kernel_size // 2)],
+            dimension_numbers=('NWC', 'WIO', 'NWC'))
+        if self.use_bias:
+            bias = self.param('b', nn.initializers.zeros, (self.features,))
+            out = out + (bias.astype(self.dtype) if self.dtype else bias)
+        return out
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over channels with the reference's eps (``Modules.py:472-475``:
+    eps 1e-4, fp32 statistics)."""
+    epsilon: float = 1e-4
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.epsilon, dtype=self.dtype)(x)
+
+
+class RelativePositionMultiHeadAttention(nn.Module):
+    """Multi-head attention with optional Shaw-style clipped relative
+    position embeddings shared across heads.
+
+    Behaviour surface of the reference ``RPR_MHA.py:5-165``:
+    * conv-1×1 (== dense) Q/K/V projections, xavier-uniform initialised
+    * rel-pos K/V tables ``[1, 2W+1, d_head]`` applied through the
+      rel↔abs shuffles, scaled by 1/√d_head
+    * optional proximal bias and block (band) masking for self-attention
+    * masked positions filled with −1e4 before softmax (not −inf)
+    * doubles as plain cross-attention when ``window_size`` is None
+      (GST style-token attention, ``Modules.py:349-355``)
+    """
+    calc_channels: int
+    out_channels: int
+    num_heads: int
+    window_size: Optional[int] = None
+    heads_share: bool = True
+    proximal_bias: bool = False
+    block_length: Optional[int] = None
+    dropout_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, queries, keys=None, values=None, mask=None,
+                 deterministic: bool = True):
+        """queries [B, T_q, C_q]; keys/values [B, T_k, C_k] (None → self);
+        mask [B, 1, T_q, T_k] (1 = attend)."""
+        self_attention = keys is None and values is None
+        if self.window_size is not None or self.proximal_bias or \
+                self.block_length is not None:
+            assert self_attention, 'relative/proximal/block attention is self-attention only'
+        keys = keys if keys is not None else (
+            values if values is not None else queries)
+        values = values if values is not None else keys
+
+        h = self.num_heads
+        d = self.calc_channels // h
+        xavier = nn.initializers.xavier_uniform()
+        q = nn.Dense(self.calc_channels, kernel_init=xavier,
+                     dtype=self.dtype, name='query')(queries)
+        k = nn.Dense(self.calc_channels, kernel_init=xavier,
+                     dtype=self.dtype, name='key')(keys)
+        v = nn.Dense(self.calc_channels, kernel_init=xavier,
+                     dtype=self.dtype, name='value')(values)
+
+        b, t_q, _ = q.shape
+        t_k = k.shape[1]
+        q = q.reshape(b, t_q, h, d).transpose(0, 2, 1, 3)     # [B,H,Tq,d]
+        k = k.reshape(b, t_k, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t_k, h, d).transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(d).astype(q.dtype)
+        scores = jnp.einsum('bhqd,bhkd->bhqk', q, k,
+                            preferred_element_type=jnp.float32) * scale
+
+        if self.window_size is not None:
+            init = nn.initializers.normal(stddev=d ** -0.5)
+            n_tables = 1 if self.heads_share else h
+            emb_k = self.param('rel_emb_k', init,
+                               (n_tables, 2 * self.window_size + 1, d))
+            rel_k = attn_ops.clip_relative_embedding(emb_k, t_k)
+            rel_scores = jnp.einsum('bhqd,nrd->bhqr', q, rel_k,
+                                    preferred_element_type=jnp.float32)
+            scores = scores + attn_ops.relative_to_absolute(rel_scores) * scale
+
+        if self.proximal_bias:
+            scores = scores + attn_ops.proximal_bias(t_k, scores.dtype)
+
+        if mask is not None:
+            if self.block_length is not None:
+                band = jnp.tril(
+                    jnp.triu(jnp.ones((t_q, t_k), bool), -self.block_length),
+                    self.block_length)
+                mask = mask * band[None, None]
+            scores = jnp.where(mask == 0, jnp.asarray(-1e4, scores.dtype),
+                               scores)
+
+        alignments = jax.nn.softmax(scores, axis=-1)
+        alignments = nn.Dropout(self.dropout_rate)(
+            alignments, deterministic=deterministic)
+        out = jnp.einsum('bhqk,bhkd->bhqd',
+                         alignments.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+
+        if self.window_size is not None:
+            emb_v = self.param('rel_emb_v',
+                               nn.initializers.normal(stddev=d ** -0.5),
+                               (1 if self.heads_share else h,
+                                2 * self.window_size + 1, d))
+            rel_v = attn_ops.clip_relative_embedding(emb_v, t_k)
+            rel_w = attn_ops.absolute_to_relative(alignments)
+            out = out + jnp.einsum('bhqr,nrd->bhqd',
+                                   rel_w.astype(rel_v.dtype), rel_v,
+                                   preferred_element_type=jnp.float32)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, t_q, self.calc_channels)
+        out = nn.Dense(self.out_channels, dtype=self.dtype,
+                       name='proj')(out.astype(queries.dtype))
+        return out, alignments

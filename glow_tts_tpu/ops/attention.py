@@ -1,0 +1,62 @@
+"""Relative-position index shuffles for Shaw-style attention.
+
+Pure-gather reindexing tricks (Music-Transformer style) used by the RPR
+attention (reference ``RPR_MHA.py:131-165``).  On TPU these pad/reshape
+sequences compile to cheap layout ops — no gather scatter needed.
+
+Conventions (channels-last): scores/alignments are [B, H, T_q, *].  The
+relative axis has length ``2T-1`` indexing offsets ``-(T-1) … +(T-1)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def relative_to_absolute(x: jax.Array) -> jax.Array:
+    """[B, H, T, 2T-1] rel-indexed → [B, H, T, T] abs-indexed.
+
+    out[..., i, j] = x[..., i, (j - i) + T - 1].
+    """
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 1)))          # [.., T, 2T]
+    x = x.reshape(b, h, t * 2 * t)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, t - 1)))              # [.., 2T²+T-1]
+    x = x.reshape(b, h, t + 1, 2 * t - 1)
+    return x[:, :, :t, t - 1:]
+
+
+def absolute_to_relative(x: jax.Array) -> jax.Array:
+    """[B, H, T, T] abs-indexed → [B, H, T, 2T-1] rel-indexed.
+
+    out[..., i, r] = x[..., i, i + r - (T - 1)] (0 outside range).
+    """
+    b, h, t, _ = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t - 1)))      # [.., T, 2T-1]
+    x = x.reshape(b, h, t * (2 * t - 1))
+    x = jnp.pad(x, ((0, 0), (0, 0), (t, 0)))                  # [.., 2T²]
+    x = x.reshape(b, h, t, 2 * t)
+    return x[:, :, :, 1:]
+
+
+def clip_relative_embedding(embedding: jax.Array, length: int) -> jax.Array:
+    """Window-clipped relative embedding table → per-offset table.
+
+    embedding: [H_or_1, 2W+1, D] learned for offsets -W…W.
+    Returns [H_or_1, 2L-1, D] for offsets -(L-1)…(L-1): zero-padded beyond
+    the window, center-sliced when L-1 < W (reference ``RPR_MHA.py:131-140``).
+    """
+    window = (embedding.shape[1] - 1) // 2
+    pad = max(length - 1 - window, 0)
+    padded = jnp.pad(embedding, ((0, 0), (pad, pad), (0, 0)))
+    start = max(window - (length - 1), 0)
+    return jax.lax.dynamic_slice_in_dim(padded, start, 2 * length - 1, axis=1)
+
+
+def proximal_bias(length: int, dtype=jnp.float32) -> jax.Array:
+    """-log1p(|i-j|) self-attention bias (reference ``RPR_MHA.py:152-155``).
+    Present for parity; unused by the shipped configs."""
+    seq = jnp.arange(length, dtype=dtype)
+    diff = seq[None, :] - seq[:, None]
+    return -jnp.log1p(jnp.abs(diff))[None, None]

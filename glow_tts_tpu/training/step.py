@@ -1,0 +1,164 @@
+"""Jitted train / eval / inference steps and state construction.
+
+One ``jax.jit``-compiled function per role (the reference's eager
+``Train_Step`` is ``Train.py:182-238``); under a mesh the batch arrives
+sharded over the ``data`` axis and XLA inserts the gradient all-reduce.
+
+ActNorm's data-dependent initialisation happens inside
+:func:`create_train_state`: ``model.init`` is called on a real (or
+synthetic) batch, so the flow statistics are produced exactly as Glow
+prescribes (cf. ``Modules.py:698-711`` and the checkpoint-restore invariant
+``Train.py:527-528`` which is structurally impossible to get wrong here —
+restored parameters simply replace the initialised ones).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from glow_tts_tpu.config import Config
+from glow_tts_tpu.models.glow_tts import GlowTTS
+from glow_tts_tpu.training import losses
+from glow_tts_tpu.training.optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    dropout_rng: jax.Array
+
+    def next_rng(self) -> Tuple[jax.Array, jax.Array]:
+        return jax.random.split(self.dropout_rng)
+
+
+def build_model(config: Config) -> GlowTTS:
+    dtype = jnp.dtype(config.tpu.compute_dtype) \
+        if config.tpu.compute_dtype else jnp.float32
+    return GlowTTS(config, dtype=dtype)
+
+
+def create_train_state(config: Config, rng: jax.Array,
+                       batch: Dict[str, Any]) -> Tuple[GlowTTS, TrainState]:
+    model = build_model(config)
+    init_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(
+        {'params': init_rng, 'dropout': jax.random.fold_in(init_rng, 1)},
+        tokens=batch['tokens'],
+        token_lengths=batch['token_lengths'],
+        mels=batch['mels'],
+        mel_lengths=batch['mel_lengths'],
+        speakers=batch.get('speakers'),
+        mels_for_ge2e=batch.get('mels_for_ge2e'),
+        pitches=batch.get('pitches'),
+        deterministic=False)
+    params = variables['params']
+    tx = make_optimizer(config)
+    state = TrainState(
+        step=jnp.zeros([], jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        dropout_rng=dropout_rng)
+    return model, state
+
+
+def compute_losses(config: Config, outputs: Dict[str, Any],
+                   batch: Dict[str, Any]) -> Dict[str, jax.Array]:
+    loss_dict = {
+        'mle': losses.mle_loss(
+            outputs['z'], outputs['mel_mean'], outputs['mel_log_std'],
+            outputs['log_dets'], batch['mel_lengths'],
+            config.decoder.num_squeeze, config.sound.mel_dim),
+        'duration': losses.duration_loss(
+            outputs['log_durations'], outputs['log_duration_targets']),
+    }
+    total = loss_dict['mle'] + loss_dict['duration']
+    if outputs.get('classified_speakers') is not None:
+        loss_dict['speaker'] = losses.speaker_ce_loss(
+            outputs['classified_speakers'], batch['speakers'])
+        total = total + loss_dict['speaker']
+    loss_dict['total'] = total
+    return loss_dict
+
+
+def make_train_step(config: Config, model: GlowTTS):
+    tx = make_optimizer(config)
+
+    def train_step(state: TrainState, batch: Dict[str, Any]):
+        rng, next_rng = jax.random.split(state.dropout_rng)
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {'params': params},
+                tokens=batch['tokens'],
+                token_lengths=batch['token_lengths'],
+                mels=batch['mels'],
+                mel_lengths=batch['mel_lengths'],
+                speakers=batch.get('speakers'),
+                mels_for_ge2e=batch.get('mels_for_ge2e'),
+                pitches=batch.get('pitches'),
+                deterministic=False,
+                rngs={'dropout': rng})
+            loss_dict = compute_losses(config, outputs, batch)
+            return loss_dict['total'], loss_dict
+
+        (_, loss_dict), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(loss_dict)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            dropout_rng=next_rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(config: Config, model: GlowTTS):
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        outputs = model.apply(
+            {'params': state.params},
+            tokens=batch['tokens'],
+            token_lengths=batch['token_lengths'],
+            mels=batch['mels'],
+            mel_lengths=batch['mel_lengths'],
+            speakers=batch.get('speakers'),
+            mels_for_ge2e=batch.get('mels_for_ge2e'),
+            pitches=batch.get('pitches'),
+            deterministic=True)
+        loss_dict = compute_losses(config, outputs, batch)
+        return loss_dict, outputs
+
+    return eval_step
+
+
+def make_inference_step(config: Config, model: GlowTTS,
+                        max_mel_length: int = 1024,
+                        noise_scale: float = 1.0):
+    def inference_step(state: TrainState, batch: Dict[str, Any],
+                       rng: jax.Array):
+        return model.apply(
+            {'params': state.params},
+            tokens=batch['tokens'],
+            token_lengths=batch['token_lengths'],
+            mels_for_prosody=batch.get('mels_for_prosody'),
+            mel_lengths_for_prosody=batch.get('mel_lengths_for_prosody'),
+            speakers=batch.get('speakers'),
+            mels_for_ge2e=batch.get('mels_for_ge2e'),
+            pitches=batch.get('pitches'),
+            pitch_lengths=batch.get('pitch_lengths'),
+            noise_key=rng,
+            noise_scale=noise_scale,
+            length_scale=batch.get('length_scales', 1.0),
+            max_mel_length=max_mel_length,
+            method=GlowTTS.inference)
+
+    return inference_step

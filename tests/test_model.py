@@ -1,0 +1,102 @@
+"""End-to-end model tests: init (with ActNorm data init inside), training
+forward, loss computation, a few optimizer steps, and static-shape
+inference — across all four conditioning modes (SURVEY.md §0)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glow_tts_tpu.training.step import (
+    create_train_state, make_eval_step, make_inference_step,
+    make_train_step)
+from tests.helpers import synthetic_batch, tiny_config
+
+MODES = ['Vanilla', 'SE', 'PE', 'GR']
+
+
+def _setup(mode, se_type='LUT'):
+    cfg = tiny_config(mode=mode)
+    if se_type != 'LUT':
+        cfg = tiny_config(mode=mode, **{
+            'Speaker_Embedding': {
+                'Type': se_type, 'Num_Speakers': 4, 'Embedding_Size': 16,
+                'GE2E': {'LSTM': {'Sizes': 16, 'Stacks': 2},
+                         'Inference': {'Samples': 2, 'Slice_Length': 12,
+                                       'Overlap_Length': 4}}}})
+    batch = synthetic_batch(cfg)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    return cfg, batch, model, state
+
+
+@pytest.mark.parametrize('mode', MODES)
+def test_train_step_runs_and_loss_finite(mode):
+    cfg, batch, model, state = _setup(mode)
+    train_step = jax.jit(make_train_step(cfg, model))
+    state, metrics = train_step(state, batch)
+    for name, value in metrics.items():
+        assert np.isfinite(np.asarray(value)), f'{name} not finite'
+    assert int(state.step) == 1
+    if mode == 'GR':
+        assert 'speaker' in metrics
+
+
+def test_loss_decreases_over_steps():
+    cfg, batch, model, state = _setup('Vanilla')
+    train_step = jax.jit(make_train_step(cfg, model))
+    eval_step = jax.jit(make_eval_step(cfg, model))
+    before = float(eval_step(state, batch)[0]['total'])
+    for _ in range(25):
+        state, _ = train_step(state, batch)
+    after = float(eval_step(state, batch)[0]['total'])
+    assert after < before
+
+
+@pytest.mark.parametrize('mode', ['Vanilla', 'SE'])
+def test_inference_shapes_and_padding(mode):
+    cfg, batch, model, state = _setup(mode)
+    max_mel = 64
+    infer = jax.jit(make_inference_step(cfg, model, max_mel_length=max_mel))
+    out = infer(state, batch, jax.random.PRNGKey(7))
+    mels = np.asarray(out['mels'])
+    lengths = np.asarray(out['mel_lengths'])
+    assert mels.shape == (batch['tokens'].shape[0], max_mel,
+                          cfg.sound.mel_dim)
+    assert np.all(lengths >= cfg.decoder.num_squeeze)
+    assert np.all(lengths <= max_mel)
+    # padding filled with -max_abs_mel
+    for i, length in enumerate(lengths):
+        assert np.allclose(mels[i, length:], -cfg.sound.max_abs_mel)
+    # attentions are a valid monotonic hard path within lengths
+    attn = np.asarray(out['attentions'])
+    for i, length in enumerate(lengths):
+        assert np.all(attn[i, :, :length].sum(axis=0) == 1)
+
+
+def test_ge2e_mode_forward():
+    cfg, batch, model, state = _setup('SE', se_type='GE2E')
+    train_step = jax.jit(make_train_step(cfg, model))
+    state, metrics = train_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+    # frozen GE2E: parameters must not change after a step
+    lstm_before = jax.tree_util.tree_leaves(
+        state.params['ge2e'])
+    state2, _ = train_step(state, batch)
+    lstm_after = jax.tree_util.tree_leaves(state2.params['ge2e'])
+    for a, b in zip(lstm_before, lstm_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_teacher_forced_attention_matches_mas_properties():
+    cfg, batch, model, state = _setup('Vanilla')
+    eval_step = jax.jit(make_eval_step(cfg, model))
+    loss_dict, outputs = eval_step(state, batch)
+    attn = np.asarray(outputs['attentions'])
+    for i in range(attn.shape[0]):
+        ty = int(batch['mel_lengths'][i])
+        tx = int(batch['token_lengths'][i])
+        assert np.all(attn[i, :, :ty].sum(axis=0) == 1)
+        assert attn[i, :tx, :ty].sum() == ty
+    # duration targets: log(sum of attention row + eps)
+    dur = np.asarray(outputs['log_duration_targets'])
+    assert dur.shape == (attn.shape[0], attn.shape[1], 1)
