@@ -1,0 +1,99 @@
+"""Headline benchmark: mel frames/sec on one TPU chip, Vanilla inference.
+
+Protocol mirrors the measured reference baseline
+(benchmarks/measure_reference.py → BASELINE_MEASURED.json): batch 32,
+128-token inputs, length_scale 8 (≈8 frames/token from the untrained
+duration predictor on both sides), full inference path (text encoder →
+durations → path → sampled latent → inverse flow).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 32
+TOKEN_LEN = 128
+LENGTH_SCALE = 8.0
+MAX_MEL = 1152          # capacity ≥ ceil(e^0·8)·128 = 1024 frames
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+    from glow_tts_tpu.config import load_config
+    from glow_tts_tpu.training.step import (
+        create_train_state, make_inference_step)
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    cfg = load_config({
+        'Mode': 'Vanilla',
+        'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
+    })
+
+    rng = np.random.default_rng(0)
+    s = cfg.decoder.num_squeeze
+    init_batch = {
+        'tokens': rng.integers(0, cfg.encoder.embedding_tokens,
+                               (BATCH, TOKEN_LEN)).astype(np.int32),
+        'token_lengths': np.full((BATCH,), TOKEN_LEN, np.int32),
+        'mels': rng.standard_normal((BATCH, 256, cfg.sound.mel_dim)
+                                    ).astype(np.float32),
+        'mel_lengths': np.full((BATCH,), 256 // s * s, np.int32),
+    }
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), init_batch)
+
+    batch = {
+        'tokens': init_batch['tokens'],
+        'token_lengths': init_batch['token_lengths'],
+        'length_scales': np.full((BATCH,), LENGTH_SCALE, np.float32),
+    }
+    infer = jax.jit(make_inference_step(cfg, model, max_mel_length=MAX_MEL))
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        out = infer(state, batch, key)
+    jax.block_until_ready(out)
+    frames = int(np.asarray(out['mel_lengths']).sum())
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = infer(state, batch, key)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    frames_per_sec = frames / best
+    audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
+    rtf = best / audio_sec
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 'BASELINE_MEASURED.json')
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = frames_per_sec / baseline['mel_frames_per_sec']
+
+    print(json.dumps({
+        'metric': 'mel_frames_per_sec_per_chip',
+        'value': round(frames_per_sec, 1),
+        'unit': 'frames/s',
+        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        'extra': {
+            'device': str(jax.devices()[0]),
+            'batch': BATCH,
+            'seconds_per_batch': round(best, 5),
+            'mel_frames': frames,
+            'rtf': round(rtf, 6),
+            'compute_dtype': cfg.tpu.compute_dtype,
+        },
+    }))
+
+
+if __name__ == '__main__':
+    main()

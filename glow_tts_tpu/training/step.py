@@ -48,16 +48,24 @@ def create_train_state(config: Config, rng: jax.Array,
                        batch: Dict[str, Any]) -> Tuple[GlowTTS, TrainState]:
     model = build_model(config)
     init_rng, dropout_rng = jax.random.split(rng)
-    variables = model.init(
+
+    # jit the whole init: it contains the ActNorm data-dependent statistics
+    # and a full forward (including MAS); run op-by-op it pays per-op
+    # dispatch latency, which is prohibitive through the TPU tunnel.
+    @jax.jit
+    def init_fn(rngs, tokens, token_lengths, mels, mel_lengths, speakers,
+                mels_for_ge2e, pitches):
+        return model.init(
+            rngs, tokens=tokens, token_lengths=token_lengths, mels=mels,
+            mel_lengths=mel_lengths, speakers=speakers,
+            mels_for_ge2e=mels_for_ge2e, pitches=pitches,
+            deterministic=False)
+
+    variables = init_fn(
         {'params': init_rng, 'dropout': jax.random.fold_in(init_rng, 1)},
-        tokens=batch['tokens'],
-        token_lengths=batch['token_lengths'],
-        mels=batch['mels'],
-        mel_lengths=batch['mel_lengths'],
-        speakers=batch.get('speakers'),
-        mels_for_ge2e=batch.get('mels_for_ge2e'),
-        pitches=batch.get('pitches'),
-        deterministic=False)
+        batch['tokens'], batch['token_lengths'], batch['mels'],
+        batch['mel_lengths'], batch.get('speakers'),
+        batch.get('mels_for_ge2e'), batch.get('pitches'))
     params = variables['params']
     tx = make_optimizer(config)
     state = TrainState(
