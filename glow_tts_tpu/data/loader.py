@@ -1,0 +1,113 @@
+"""Batching and host→device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader(num_workers=4,
+pin_memory=True)`` (``Train.py:100-123``) with a TPU-style pipeline:
+
+* length-aware bucketing — indices are shuffled, then sorted by mel length
+  inside windows of ``sort_factor`` batches, so batches are near-uniform in
+  length and bucket-padded shapes stay small (less padding = fewer wasted
+  MXU cycles and fewer distinct compiled shapes);
+* a background thread assembles the next batches and ``device_put``s them
+  (sharded over the mesh's data axis when given one) while the current step
+  computes — double buffering host IO against device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class BatchSampler:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 sort_factor: int = 8, seed: int = 0,
+                 drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.sort_factor = sort_factor
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[Sequence[int]]:
+        n = len(self.dataset)
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shuffle and hasattr(self.dataset, 'mel_length'):
+            window = self.batch_size * self.sort_factor
+            chunks = []
+            for start in range(0, n, window):
+                chunk = order[start:start + window]
+                lengths = np.array(
+                    [self.dataset.mel_length(i) for i in chunk])
+                chunks.append(chunk[np.argsort(lengths, kind='stable')])
+            order = np.concatenate(chunks) if chunks else order
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and \
+                len(batches[-1]) < self.batch_size:
+            batches = batches[:-1]
+        if self.shuffle:
+            rng.shuffle(batches)
+        self.epoch += 1
+        yield from batches
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+
+class DataLoader:
+    """Iterates collated batches, optionally prefetching on a thread."""
+
+    def __init__(self, dataset, collater: Callable, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 prefetch: int = 2, drop_last: bool = True,
+                 device_put: Optional[Callable] = None):
+        self.dataset = dataset
+        self.collater = collater
+        self.sampler = BatchSampler(dataset, batch_size, shuffle,
+                                    seed=seed, drop_last=drop_last)
+        self.prefetch = prefetch
+        self.device_put = device_put
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def _produce(self, q: queue.Queue):
+        try:
+            for indices in self.sampler:
+                batch = self.collater([self.dataset[int(i)]
+                                       for i in indices])
+                if self.device_put is not None:
+                    batch = self.device_put(batch)
+                q.put(batch)
+        except Exception as error:            # surface in the consumer
+            q.put(error)
+        finally:
+            q.put(None)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            for indices in self.sampler:
+                batch = self.collater([self.dataset[int(i)]
+                                       for i in indices])
+                yield (self.device_put(batch) if self.device_put else batch)
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        thread = threading.Thread(target=self._produce, args=(q,),
+                                  daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            yield item
+        thread.join()

@@ -1,0 +1,154 @@
+"""Standalone inference driver (capability of reference ``Inference.py``).
+
+``Inferencer`` loads a checkpoint (latest or exact step), synthesises mels
+for programmatic requests or TSV files, and exports the PNG/NPY artifact
+tree.  The reference stops at mels too — wav synthesis is delegated to an
+external vocoder (``README.md:119-124``; SURVEY §2.31).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from glow_tts_tpu.config import Config, load_config
+from glow_tts_tpu.data.collate import InferenceCollater
+from glow_tts_tpu.data.patterns import InferenceDataset
+from glow_tts_tpu.text import Tokenizer, load_token_dict, text_filtering
+from glow_tts_tpu.training.checkpoint import CheckpointManager
+from glow_tts_tpu.training.step import (create_train_state,
+                                        make_inference_step)
+from glow_tts_tpu.utils.plotting import export_mel_figure, export_npy
+
+
+class Inferencer:
+    def __init__(self, checkpoint_path: str,
+                 config: Optional[Config] = None,
+                 step: int = 0,
+                 batch_size: Optional[int] = None,
+                 max_mel_length: int = 1024):
+        if config is None:
+            snapshot = os.path.join(checkpoint_path, 'Hyper_Parameters.yaml')
+            config = load_config(snapshot)
+        self.config = config
+        self.batch_size = batch_size or config.inference_batch_size \
+            or config.train.batch_size
+        self.max_mel_length = max_mel_length
+
+        token_dict = None
+        if config.token_path and os.path.exists(config.token_path):
+            token_dict = load_token_dict(config.token_path)
+        self.tokenizer = Tokenizer(token_dict)
+        self.collater = InferenceCollater(config, self.tokenizer)
+
+        self.model, state = create_train_state(
+            config, jax.random.PRNGKey(0),
+            self._dummy_train_batch())
+        restored = CheckpointManager(checkpoint_path).restore(state, step)
+        if restored is None:
+            raise FileNotFoundError(
+                f'no checkpoint found in {checkpoint_path}')
+        self.state, self.step = restored
+        self.infer = jax.jit(make_inference_step(
+            config, self.model, max_mel_length=max_mel_length))
+
+    def _dummy_train_batch(self) -> Dict:
+        cfg = self.config
+        rng = np.random.default_rng(0)
+        b, t_tok, t_mel = 2, 16, 32
+        batch = {
+            'tokens': rng.integers(0, cfg.encoder.embedding_tokens,
+                                   (b, t_tok)).astype(np.int32),
+            'token_lengths': np.full((b,), t_tok, np.int32),
+            'mels': rng.standard_normal((b, t_mel, cfg.sound.mel_dim)
+                                        ).astype(np.float32),
+            'mel_lengths': np.full((b,), t_mel, np.int32),
+        }
+        if cfg.uses_speaker_embedding or cfg.uses_gradient_reversal:
+            batch['speakers'] = np.zeros((b,), np.int32)
+            if cfg.speaker_embedding.type.upper() == 'GE2E':
+                ge2e = cfg.speaker_embedding.ge2e.inference
+                batch['mels_for_ge2e'] = rng.standard_normal(
+                    (b * ge2e.samples, ge2e.slice_length, cfg.sound.mel_dim)
+                ).astype(np.float32)
+        if cfg.uses_gradient_reversal:
+            batch['pitches'] = rng.random((b, t_mel)).astype(np.float32)
+        return batch
+
+    # ------------------------------------------------------------------
+
+    def synthesize_items(self, items: Sequence[Dict],
+                         out_dir: Optional[str] = None,
+                         noise_scale: float = 1.0,
+                         seed: int = 0) -> List[Dict]:
+        results = []
+        for start in range(0, len(items), self.batch_size):
+            chunk = list(items[start:start + self.batch_size])
+            batch = self.collater(chunk)
+            out = self.infer(self.state, batch,
+                             jax.random.PRNGKey(seed + start))
+            mels = np.asarray(out['mels'])
+            lengths = np.asarray(out['mel_lengths'])
+            attns = np.asarray(out['attentions'])
+            for i, item in enumerate(chunk):
+                label = item.get('label', str(start + i))
+                t_tok = int(batch['token_lengths'][i])
+                result = {
+                    'label': label,
+                    'text': item['text'],
+                    'mel': mels[i, :lengths[i]],
+                    'attention': attns[i, :t_tok, :lengths[i]],
+                }
+                results.append(result)
+                if out_dir:
+                    export_mel_figure(
+                        os.path.join(out_dir, 'PNG', f'{label}.png'),
+                        result['mel'], result['attention'],
+                        title=item['text'])
+                    export_npy(out_dir, label, result['mel'],
+                               result['attention'])
+        return results
+
+    def inference(self, labels: Sequence[str], texts: Sequence[str],
+                  length_scales: Optional[Sequence[float]] = None,
+                  speakers: Optional[Sequence[int]] = None,
+                  wavs_for_ge2e: Optional[Sequence[str]] = None,
+                  wavs_for_prosody: Optional[Sequence[str]] = None,
+                  wavs_for_pitch: Optional[Sequence[str]] = None,
+                  out_dir: Optional[str] = None) -> List[Dict]:
+        """Programmatic batch synthesis (reference ``Inference.py:225-256``)."""
+        from glow_tts_tpu.data.pattern_generator import \
+            load_reference_features
+        n = len(texts)
+        items = []
+        for i in range(n):
+            filtered = text_filtering(texts[i])
+            if filtered is None:
+                continue
+            entry = {
+                'label': labels[i],
+                'text': filtered,
+                'length_scale': (length_scales[i] if length_scales
+                                 else 1.0),
+                'speaker_id': (int(speakers[i]) if speakers is not None
+                               else 0),
+                'wav_for_ge2e': wavs_for_ge2e[i] if wavs_for_ge2e else None,
+                'wav_for_prosody': (wavs_for_prosody[i]
+                                    if wavs_for_prosody else None),
+                'wav_for_pitch': (wavs_for_pitch[i]
+                                  if wavs_for_pitch else None),
+            }
+            items.append(load_reference_features(self.config, entry))
+        return self.synthesize_items(items, out_dir)
+
+    def inference_from_file(self, tsv_path: str,
+                            out_dir: Optional[str] = None) -> List[Dict]:
+        from glow_tts_tpu.data.pattern_generator import \
+            load_reference_features
+        dataset = InferenceDataset(tsv_path)
+        items = [load_reference_features(self.config, dataset[i])
+                 for i in range(len(dataset))]
+        return self.synthesize_items(items, out_dir)

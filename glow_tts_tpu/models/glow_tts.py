@@ -190,6 +190,11 @@ class GlowTTS(nn.Module):
             'mel_mask': mel_mask,
         }
 
+    def encode_prosody(self, mels, mel_lengths):
+        """Expose the GST embedding for the prosody-projector check
+        (reference ``Train.py:470-492``)."""
+        return self.prosody_encoder(mels, mel_lengths, True)
+
     # -- inference ----------------------------------------------------------
 
     def inference(self,

@@ -114,18 +114,76 @@ def mel_spectrogram(audio: jax.Array,
                     mel_fmin: float = 125.0,
                     mel_fmax: float = 7600.0,
                     min_level_db: float = -100.0,
-                    max_abs_value: float = 4.0) -> jax.Array:
+                    max_abs_value: float = 4.0,
+                    center: bool = True) -> jax.Array:
     """Full mel pipeline (parity with reference ``Audio.py:14-47``).
 
     audio: [..., samples] → mel [..., frames, num_mel] in
-    [-max_abs_value, max_abs_value].
+    [-max_abs_value, max_abs_value].  ``center=False`` assumes the caller
+    already applied the reflect padding (see :func:`mel_spectrogram_host`).
     """
     n_fft = (num_frequency - 1) * 2
     emphasized = preemphasis(audio, pre_emphasis)
-    magnitude = stft_magnitude(emphasized, n_fft, hop_length, window_length)
+    magnitude = stft_magnitude(emphasized, n_fft, hop_length, window_length,
+                               center=center)
     fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, num_mel,
                                     mel_fmin, mel_fmax))
     mel = magnitude @ fb                                  # [..., frames, mel]
+    db = 20.0 * jnp.log10(mel + 1e-7)
+    return jnp.clip(
+        (2.0 * max_abs_value) * (db - min_level_db) / (-min_level_db)
+        - max_abs_value,
+        -max_abs_value, max_abs_value)
+
+
+def mel_spectrogram_host(audio: np.ndarray,
+                         sample_rate: int = 24000,
+                         num_frequency: int = 1025,
+                         num_mel: int = 80,
+                         window_length: int = 1024,
+                         hop_length: int = 256,
+                         length_bucket: int = 32768,
+                         **kwargs) -> np.ndarray:
+    """ETL variant: identical output to :func:`mel_spectrogram` but with
+    the audio length padded up to a bucket multiple so arbitrary-length
+    utterances reuse a handful of compiled shapes instead of one
+    compilation each.
+
+    Bit-exactness: preemphasis and the reflect (librosa-center) padding are
+    applied on the true signal *before* the zero-pad, and the true frame
+    count ``1 + n // hop`` only reads samples inside the reflect-padded
+    region.
+    """
+    import jax.numpy as jnp
+    n = audio.shape[-1]
+    n_fft = (num_frequency - 1) * 2
+    n_frames = 1 + n // hop_length
+    coef = kwargs.get('pre_emphasis', 0.97)
+    emphasized = np.concatenate(
+        [audio[:1], audio[1:] - coef * audio[:-1]]).astype(np.float32)
+    padded = np.pad(emphasized, (n_fft // 2, n_fft // 2), mode='reflect')
+    target = -(-padded.shape[0] // length_bucket) * length_bucket
+    padded = np.pad(padded, (0, target - padded.shape[0]))
+    mel = np.asarray(_mel_no_preemph_jit(
+        jnp.asarray(padded), sample_rate, num_frequency, num_mel,
+        window_length, hop_length,
+        float(kwargs.get('mel_fmin', 125.0)),
+        float(kwargs.get('mel_fmax', 7600.0)),
+        float(kwargs.get('min_level_db', -100.0)),
+        float(kwargs.get('max_abs_value', 4.0))))
+    return mel[:n_frames]
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _mel_no_preemph_jit(padded, sample_rate, num_frequency, num_mel,
+                        window_length, hop_length, mel_fmin, mel_fmax,
+                        min_level_db, max_abs_value):
+    n_fft = (num_frequency - 1) * 2
+    magnitude = stft_magnitude(padded, n_fft, hop_length, window_length,
+                               center=False)
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, num_mel,
+                                    mel_fmin, mel_fmax))
+    mel = magnitude @ fb
     db = 20.0 * jnp.log10(mel + 1e-7)
     return jnp.clip(
         (2.0 * max_abs_value) * (db - min_level_db) / (-min_level_db)

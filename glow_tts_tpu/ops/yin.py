@@ -108,10 +108,17 @@ def pitch_calc(audio,
     audio = np.asarray(audio, dtype=np.float32)
     pad = (w_step + w_len - audio.shape[0] % w_step) // 2
     padded = np.pad(audio, pad, mode='reflect')
+    # Zero-pad to a length bucket so arbitrary utterance lengths reuse a
+    # handful of compiled shapes (frames beyond the true count are sliced
+    # off; frames inside it never read the zero region).
+    true_frames = len(range(0, padded.shape[0] - w_len, w_step))
+    bucket = 32 * w_len
+    target = -(-padded.shape[0] // bucket) * bucket
+    padded = np.pad(padded, (0, target - padded.shape[0]))
     pitches = np.asarray(compute_yin_frames(
         jnp.asarray(padded), sample_rate, w_len=w_len, w_step=w_step,
         f0_min=f0_min, f0_max=f0_max,
-        harmo_thresh=1.0 - confidence_threshold))
+        harmo_thresh=1.0 - confidence_threshold))[:true_frames]
     if gaussian_smoothing_sigma > 0.0:
         from scipy.ndimage import gaussian_filter1d
         pitches = gaussian_filter1d(pitches, sigma=gaussian_smoothing_sigma)

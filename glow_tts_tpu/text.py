@@ -8,6 +8,7 @@ reproduced exactly so that pattern archives and checkpoints interoperate.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Dict, List, Optional, Sequence
 
@@ -66,6 +67,8 @@ def default_token_dict() -> Dict[str, int]:
 
 
 def save_token_dict(token_dict: Dict[str, int], path: str) -> None:
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
     with open(path, 'w', encoding='utf-8') as f:
         yaml.dump(token_dict, f, allow_unicode=True)
 

@@ -1,0 +1,289 @@
+"""Training orchestration: step loop with interval-triggered checkpoint /
+logging / evaluation / inference, graceful-interrupt checkpointing.
+
+Capability surface of the reference ``Trainer`` (``Train.py:49-590``):
+* interval hooks — checkpoint, scalar logging (interval-averaged + LR),
+  evaluation (losses + teacher-forced vs free-running attention images),
+  inference on a fixed TSV sentence file with PNG/NPY export, prosody
+  embedding projector check (PE/GR)
+* KeyboardInterrupt → checkpoint → exit (``Train.py:582-587``)
+* resume from latest or exact step
+
+TPU-first differences: one jit-compiled step per role; batches stream
+through a prefetching loader sharded over the mesh's data axis; throughput
+(frames/sec/chip, step time) is logged — the reference has no profiling
+(SURVEY §5).  Optional ``jax.profiler`` trace capture around a step window.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from glow_tts_tpu.config import Config
+from glow_tts_tpu.data.collate import (InferenceCollater, ProsodyCheckCollater,
+                                       TrainCollater)
+from glow_tts_tpu.data.loader import DataLoader
+from glow_tts_tpu.data.patterns import (InferenceDataset, PatternDataset,
+                                        ProsodyCheckDataset)
+from glow_tts_tpu.parallel import mesh as mesh_lib
+from glow_tts_tpu.text import Tokenizer, load_token_dict
+from glow_tts_tpu.training.checkpoint import CheckpointManager
+from glow_tts_tpu.training.optim import learning_rate_at
+from glow_tts_tpu.training.step import (create_train_state, make_eval_step,
+                                        make_inference_step, make_train_step)
+from glow_tts_tpu.utils.logging import StepTimer, SummaryLogger, logger
+from glow_tts_tpu.utils.plotting import export_mel_figure, export_npy
+
+
+class Trainer:
+    def __init__(self, config: Config, initial_step: int = 0,
+                 use_mesh: bool = True, max_mel_length: int = 1024):
+        self.config = config
+        self.max_mel_length = max_mel_length
+
+        token_dict = None
+        if config.token_path and os.path.exists(config.token_path):
+            token_dict = load_token_dict(config.token_path)
+        self.tokenizer = Tokenizer(token_dict)
+
+        self._build_datasets()
+        self._build_model(initial_step)
+        self._build_logging()
+
+        self.mesh = None
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = mesh_lib.make_mesh(config)
+
+        self.train_step = jax.jit(make_train_step(config, self.model))
+        self.eval_step = jax.jit(make_eval_step(config, self.model))
+        self.inference_step = jax.jit(make_inference_step(
+            config, self.model, max_mel_length=max_mel_length))
+        self.timer = StepTimer()
+        self.scalar_accum: Dict[str, float] = defaultdict(float)
+
+    # ------------------------------------------------------------------
+
+    def _build_datasets(self):
+        cfg = self.config
+        train_pattern = cfg.train.train_pattern
+        eval_pattern = cfg.train.eval_pattern
+        self.train_dataset = PatternDataset(
+            pattern_path=train_pattern.path,
+            metadata_file=train_pattern.metadata_file,
+            accumulated_dataset_epoch=train_pattern.accumulated_dataset_epoch,
+            mel_length_min=train_pattern.mel_length_min,
+            mel_length_max=train_pattern.mel_length_max,
+            text_length_min=train_pattern.text_length_min,
+            text_length_max=train_pattern.text_length_max,
+            use_cache=cfg.train.use_pattern_cache)
+        self.eval_dataset = PatternDataset(
+            pattern_path=eval_pattern.path,
+            metadata_file=eval_pattern.metadata_file,
+            mel_length_min=eval_pattern.mel_length_min,
+            mel_length_max=eval_pattern.mel_length_max,
+            text_length_min=eval_pattern.text_length_min,
+            text_length_max=eval_pattern.text_length_max,
+            use_cache=cfg.train.use_pattern_cache)
+
+    def _build_model(self, initial_step: int):
+        cfg = self.config
+        collater = TrainCollater(cfg, self.tokenizer)
+        loader = DataLoader(self.train_dataset, collater,
+                            cfg.train.batch_size, shuffle=False, prefetch=0)
+        init_batch = next(iter(loader))
+        self.model, self.state = create_train_state(
+            cfg, jax.random.PRNGKey(0), init_batch)
+        self.checkpoints = CheckpointManager(cfg.checkpoint_path, cfg)
+        restored = self.checkpoints.restore(self.state, initial_step)
+        self.step = 0
+        if restored is not None:
+            self.state, self.step = restored
+            logger.info('Restored checkpoint at step %d', self.step)
+
+    def _build_logging(self):
+        cfg = self.config
+        self.writers = {
+            'train': SummaryLogger(os.path.join(cfg.log_path, 'Train')),
+            'eval': SummaryLogger(os.path.join(cfg.log_path, 'Evaluation')),
+        }
+
+    def _device_put(self, batch):
+        if self.mesh is None:
+            return batch
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        placed = mesh_lib.shard_batch(self.mesh, arrays)
+        return {**batch, **placed}
+
+    def _train_loader(self, seed: int):
+        return DataLoader(self.train_dataset,
+                          TrainCollater(self.config, self.tokenizer),
+                          self.config.train.batch_size,
+                          shuffle=True, seed=seed, prefetch=2,
+                          device_put=self._device_put)
+
+    # ------------------------------------------------------------------
+
+    def train(self, profile_steps: Optional[tuple] = None):
+        cfg = self.config.train
+        epoch = 0
+        try:
+            while self.step < cfg.max_step:
+                for batch in self._train_loader(seed=epoch):
+                    if profile_steps and self.step == profile_steps[0]:
+                        jax.profiler.start_trace(
+                            os.path.join(self.config.log_path, 'profile'))
+                    self.state, metrics = self.train_step(self.state, batch)
+                    self.step += 1
+                    if profile_steps and self.step == profile_steps[1]:
+                        jax.block_until_ready(self.state)
+                        jax.profiler.stop_trace()
+                    self._after_step(metrics, batch)
+                    if self.step >= cfg.max_step:
+                        break
+                epoch += 1
+        except KeyboardInterrupt:
+            logger.info('Interrupted — saving checkpoint at step %d',
+                        self.step)
+            self.checkpoints.save(self.step, self.state, wait=True)
+            raise
+        self.checkpoints.save(self.step, self.state, wait=True)
+
+    def _after_step(self, metrics, batch):
+        cfg = self.config.train
+        frames = int(np.asarray(batch['mel_lengths']).sum()) \
+            if isinstance(batch.get('mel_lengths'), np.ndarray) \
+            else int(jax.device_get(batch['mel_lengths']).sum())
+        for tag, value in metrics.items():
+            self.scalar_accum[f'Loss/{tag}'] += float(np.asarray(value))
+
+        if self.step % cfg.checkpoint_save_interval == 0:
+            self.checkpoints.save(self.step, self.state)
+        if self.step % cfg.logging_interval == 0:
+            scalars = {tag: value / cfg.logging_interval
+                       for tag, value in self.scalar_accum.items()}
+            scalars['Learning_Rate'] = float(
+                learning_rate_at(self.config, self.step))
+            scalars.update(self.timer.tick(frames))
+            self.writers['train'].add_scalars(scalars, self.step)
+            self.scalar_accum = defaultdict(float)
+        if self.step % cfg.evaluation_interval == 0:
+            self.evaluate()
+        if self.step % cfg.inference_interval == 0 and \
+                cfg.inference_pattern_file_in_train:
+            self.run_inference_file(cfg.inference_pattern_file_in_train)
+        if self.config.uses_prosody_encoder and \
+                self.step % cfg.prosody_check_interval == 0:
+            self.prosody_check()
+
+    # ------------------------------------------------------------------
+
+    def evaluate(self):
+        """Dev losses + teacher-forced vs free-running attention images
+        (the reference's de-facto alignment correctness check,
+        ``Train.py:267-358``)."""
+        collater = TrainCollater(self.config, self.tokenizer)
+        loader = DataLoader(self.eval_dataset, collater,
+                            self.config.train.batch_size, shuffle=False,
+                            prefetch=0, drop_last=False)
+        totals: Dict[str, float] = defaultdict(float)
+        count = 0
+        last = None
+        for batch in loader:
+            loss_dict, outputs = self.eval_step(self.state, batch)
+            for tag, value in loss_dict.items():
+                totals[f'Loss/{tag}'] += float(np.asarray(value))
+            count += 1
+            last = (batch, outputs)
+        if not count:
+            return
+        self.writers['eval'].add_scalars(
+            {tag: value / count for tag, value in totals.items()}, self.step)
+
+        if last is not None:
+            batch, outputs = last
+            infer_batch = {
+                'tokens': batch['tokens'],
+                'token_lengths': batch['token_lengths'],
+                'speakers': batch.get('speakers'),
+                'mels_for_ge2e': batch.get('mels_for_ge2e'),
+                'mels_for_prosody': batch.get('mels'),
+                'mel_lengths_for_prosody': batch.get('mel_lengths'),
+                'pitches': batch.get('pitches'),
+                'pitch_lengths': batch.get('mel_lengths'),
+            }
+            free = self.inference_step(self.state, infer_batch,
+                                       jax.random.PRNGKey(self.step))
+            i = 0
+            t_tok = int(batch['token_lengths'][i])
+            t_mel = int(batch['mel_lengths'][i])
+            self.writers['eval'].add_images({
+                'Mel/Target': np.asarray(batch['mels'][i, :t_mel]).T,
+                'Attention/From_Train':
+                    np.asarray(outputs['attentions'][i, :t_tok, :t_mel]),
+                'Attention/From_Inference':
+                    np.asarray(free['attentions'])[i, :t_tok],
+            }, self.step)
+            self.writers['eval'].add_histograms(self.state.params, self.step)
+
+    def run_inference_file(self, pattern_file: str):
+        """Synthesise the fixed TSV sentences; export PNG + NPY trees
+        (reference ``Train.py:445-468``)."""
+        from glow_tts_tpu.data.pattern_generator import (
+            load_reference_features)
+        dataset = InferenceDataset(pattern_file)
+        if not len(dataset):
+            return
+        collater = InferenceCollater(self.config, self.tokenizer)
+        items = [load_reference_features(self.config, dataset[i])
+                 for i in range(len(dataset))]
+        batch_size = self.config.inference_batch_size \
+            or self.config.train.batch_size
+        out_dir = os.path.join(self.config.inference_path,
+                               f'Step-{self.step}')
+        for start in range(0, len(items), batch_size):
+            chunk = items[start:start + batch_size]
+            batch = collater(chunk)
+            outputs = self.inference_step(self.state, batch,
+                                          jax.random.PRNGKey(self.step))
+            mels = np.asarray(outputs['mels'])
+            lengths = np.asarray(outputs['mel_lengths'])
+            attns = np.asarray(outputs['attentions'])
+            for i, item in enumerate(chunk):
+                label = item.get('label', f'{start + i}')
+                t_tok = int(batch['token_lengths'][i])
+                mel = mels[i, :lengths[i]]
+                attn = attns[i, :t_tok, :lengths[i]]
+                export_mel_figure(
+                    os.path.join(out_dir, 'PNG', f'{label}.png'),
+                    mel, attn, title=item.get('text', ''))
+                export_npy(out_dir, label, mel, attn)
+
+    def prosody_check(self):
+        """GST embedding projector snapshot (reference ``Train.py:470-492``)."""
+        dataset = ProsodyCheckDataset(
+            pattern_path=self.config.train.eval_pattern.path,
+            metadata_file=self.config.train.eval_pattern.metadata_file,
+            mel_length_min=self.config.train.eval_pattern.mel_length_min,
+            mel_length_max=self.config.train.eval_pattern.mel_length_max)
+        if not len(dataset):
+            return
+        collater = ProsodyCheckCollater(self.config)
+        loader = DataLoader(dataset, collater,
+                            self.config.train.batch_size, shuffle=False,
+                            prefetch=0, drop_last=False)
+        embeddings, labels = [], []
+        for batch in loader:
+            out = self.model.apply(
+                {'params': self.state.params},
+                batch['mels'], batch['mel_lengths'],
+                method='encode_prosody')
+            embeddings.append(np.asarray(out))
+            labels.extend(batch['labels'])
+        self.writers['eval'].add_embedding(
+            np.concatenate(embeddings), labels, self.step, tag='GST')

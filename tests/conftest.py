@@ -23,5 +23,12 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
 
+# Persistent compilation cache: the test box has one CPU core and XLA
+# compiles dominate the suite runtime; cache across runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', _cache_dir)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
 assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) == 8, (
     'tests require the 8-device virtual CPU platform')

@@ -1,0 +1,151 @@
+"""Integration: ETL → pattern archive → Trainer (checkpoint/resume/eval/
+inference artifacts) → Inferencer, all on a synthetic miniature corpus."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from glow_tts_tpu.config import load_config
+from tests.helpers import tiny_config
+
+TEXTS = [
+    'THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG.',
+    'PACK MY BOX WITH FIVE DOZEN LIQUOR JUGS, PLEASE!',
+    'HOW VEXINGLY QUICK DAFT ZEBRAS JUMP TODAY?',
+    "SPHINX OF BLACK QUARTZ, JUDGE MY VOW AND SMILE.",
+    'A SHINING CRESCENT FAR BENEATH THE FLYING VESSEL.',
+    'BRIGHT VIXENS JUMP WHILE DOZY FOWL QUACK LOUDLY.',
+]
+
+
+def _sound_overrides():
+    return {'Sound': {
+        'Mel_Dim': 8, 'Spectrogram_Dim': 65, 'Frame_Length': 64,
+        'Frame_Shift': 16, 'Sample_Rate': 1600, 'Mel_F_Min': 50,
+        'Mel_F_Max': 600, 'Max_Abs_Mel': 4, 'Confidence_Threshold': 0.6,
+        'Gaussian_Smoothing_Sigma': 0.0, 'Pitch_Min': 100.0,
+        'Pitch_Max': 400.0}}
+
+
+@pytest.fixture(scope='module')
+def corpus(tmp_path_factory):
+    """LJ-layout miniature corpus of sine-wave 'speech'."""
+    from scipy.io import wavfile
+    root = tmp_path_factory.mktemp('corpus')
+    wav_dir = root / 'wavs'
+    wav_dir.mkdir()
+    sr = 1600
+    lines = []
+    rng = np.random.default_rng(0)
+    for i, text in enumerate(TEXTS):
+        dur = 1.0 + 0.25 * i
+        t = np.arange(int(sr * dur)) / sr
+        freq = 150 + 30 * i
+        audio = (0.5 * np.sin(2 * np.pi * freq * t)
+                 + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+        wavfile.write(wav_dir / f'UTT{i:03d}.wav', sr,
+                      (audio * 32767).astype(np.int16))
+        lines.append(f'UTT{i:03d}|{text}|{text}')
+    (root / 'metadata.csv').write_text('\n'.join(lines))
+    return root
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory, corpus):
+    """Run the full ETL over the corpus → pattern archive + token dict."""
+    from glow_tts_tpu.data.pattern_generator import generate_patterns
+    work = tmp_path_factory.mktemp('work')
+    overrides = _sound_overrides()
+    overrides.update({
+        'Token_Path': str(work / 'Token.yaml'),
+        'Train': {
+            'Train_Pattern': {'Path': str(work / 'Train'),
+                              'Mel_Length': {'Min': 10, 'Max': 1000},
+                              'Text_Length': {'Min': 5, 'Max': 200}},
+            'Eval_Pattern': {'Path': str(work / 'Eval'),
+                             'Mel_Length': {'Min': 10, 'Max': 1000},
+                             'Text_Length': {'Min': 5, 'Max': 200}},
+            'Batch_Size': 2,
+            'Learning_Rate': {'Initial': 1.0e-3, 'Base': 100},
+            'Checkpoint_Save_Interval': 2,
+            'Logging_Interval': 2,
+            'Evaluation_Interval': 2,
+            'Inference_Interval': 1000,
+            'Max_Step': 4,
+        },
+        'Checkpoint_Path': str(work / 'Checkpoint'),
+        'Log_Path': str(work / 'Log'),
+        'Inference_Path': str(work / 'Inference'),
+        'TPU': {'compute_dtype': 'float32', 'mas_backend': 'scan',
+                'token_bucket': 16, 'mel_bucket': 32},
+    })
+    cfg = tiny_config(**overrides)
+    generate_patterns(cfg, {'LJ': str(corpus)}, use_text=True,
+                      eval_ratio=0.2, eval_min=1, max_workers=2)
+    return work, cfg
+
+
+def test_etl_outputs(workdir):
+    work, cfg = workdir
+    meta = pickle.load(open(work / 'Train' / 'METADATA.PICKLE', 'rb'))
+    assert meta['File_List'], 'no training patterns generated'
+    assert os.path.exists(work / 'Eval' / 'METADATA.PICKLE')
+    assert os.path.exists(work / 'Token.yaml')
+    # pattern files parse and carry the reference keys
+    sample = pickle.load(
+        open(work / 'Train' / meta['File_List'][0], 'rb'))
+    for key in ('Audio', 'Mel', 'Pitch', 'Speaker_ID', 'Speaker',
+                'Dataset', 'Text'):
+        assert key in sample
+    assert sample['Mel'].shape[1] == cfg.sound.mel_dim
+    assert sample['Mel'].shape[0] == sample['Pitch'].shape[0]
+    assert meta['Mel_Length_Dict'][meta['File_List'][0]] == \
+        sample['Mel'].shape[0]
+
+
+def test_trainer_end_to_end(workdir):
+    work, cfg = workdir
+    from glow_tts_tpu.training.trainer import Trainer
+    trainer = Trainer(cfg, use_mesh=False, max_mel_length=256)
+    trainer.train()
+    assert trainer.step == 4
+    trainer.checkpoints.wait()
+    steps = sorted(int(d) for d in os.listdir(work / 'Checkpoint')
+                   if d.isdigit())
+    assert 2 in steps and 4 in steps
+    # config snapshot written next to checkpoints
+    assert os.path.exists(work / 'Checkpoint' / 'Hyper_Parameters.yaml')
+    # tensorboard event files exist
+    assert any(os.scandir(work / 'Log' / 'Train'))
+
+    # resume from latest
+    trainer2 = Trainer(cfg, initial_step=0, use_mesh=False,
+                       max_mel_length=256)
+    assert trainer2.step == 4
+    # resume from exact step
+    trainer3 = Trainer(cfg, initial_step=2, use_mesh=False,
+                       max_mel_length=256)
+    assert trainer3.step == 2
+
+
+def test_inferencer_from_checkpoint(workdir, tmp_path):
+    work, cfg = workdir
+    from glow_tts_tpu.inference import Inferencer
+    inferencer = Inferencer(str(work / 'Checkpoint'), config=cfg,
+                            batch_size=2, max_mel_length=64)
+    out_dir = str(tmp_path / 'artifacts')
+    results = inferencer.inference(
+        labels=['a', 'b'],
+        texts=['HELLO WORLD OF SPEECH.', 'ANOTHER TEST SENTENCE HERE.'],
+        length_scales=[1.0, 1.2],
+        out_dir=out_dir)
+    assert len(results) == 2
+    for r in results:
+        assert r['mel'].ndim == 2 and r['mel'].shape[1] == cfg.sound.mel_dim
+        assert np.isfinite(r['mel']).all()
+    assert os.path.exists(os.path.join(out_dir, 'PNG', 'a.png'))
+    assert os.path.exists(os.path.join(out_dir, 'NPY', 'Mel', 'b.npy'))
+    mel = np.load(os.path.join(out_dir, 'NPY', 'Mel', 'a.npy'))
+    assert mel.shape[0] == cfg.sound.mel_dim   # saved transposed [M, T]
