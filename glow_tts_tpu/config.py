@@ -245,6 +245,10 @@ class TPUConfig:
     mel_bucket: int = 128
     # 'pallas' | 'scan' | 'cpp' | 'numpy' — monotonic alignment search backend.
     mas_backend: str = 'pallas'
+    # XLA matmul precision: 'default' (fast, bf16-input MXU passes; mel MAE
+    # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the
+    # MXU; bit-level parity, slower).  Training uses 'default'.
+    matmul_precision: str = 'default'
 
 
 @dataclass(frozen=True)

@@ -68,8 +68,8 @@ class GE2ESpeakerEncoder(nn.Module):
         x = mel_slices
         for i in range(cfg.ge2e.lstm.stacks):
             x = nn.RNN(nn.OptimizedLSTMCell(cfg.ge2e.lstm.sizes,
-                                            dtype=self.dtype),
-                       name=f'lstm_{i}')(x)
+                                            dtype=self.dtype,
+                                            name=f'lstm_cell_{i}'))(x)
         x = x[:, -1]                                        # final time step
         x = nn.Dense(cfg.embedding_size, dtype=self.dtype,
                      name='projection')(x)
@@ -98,7 +98,9 @@ class GSTProsodyEncoder(nn.Module):
         for i, (k, ch, s) in enumerate(zip(ref.conv.kernel_size,
                                            ref.conv.channels,
                                            ref.conv.strides)):
-            x = nn.Conv(ch, (k, k), strides=(s, s), padding='SAME',
+            pad = (k - 1) // 2
+            x = nn.Conv(ch, (k, k), strides=(s, s),
+                        padding=((pad, pad), (pad, pad)),   # torch-style
                         use_bias=False,
                         kernel_init=nn.initializers.kaiming_uniform(),
                         dtype=self.dtype, name=f'conv_{i}')(x)
@@ -109,8 +111,8 @@ class GSTProsodyEncoder(nn.Module):
         x = x.transpose(0, 1, 3, 2).reshape(b, t, c * f)
 
         for i in range(ref.gru.stacks):
-            x = nn.RNN(nn.GRUCell(ref.gru.size, dtype=self.dtype),
-                       name=f'gru_{i}')(x)
+            x = nn.RNN(nn.GRUCell(ref.gru.size, dtype=self.dtype,
+                                  name=f'gru_cell_{i}'))(x)
 
         # last valid compressed step: ceil(len / prod(strides)) - 1
         total_stride = int(math.prod(ref.conv.strides))

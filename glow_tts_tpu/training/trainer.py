@@ -45,6 +45,9 @@ class Trainer:
                  use_mesh: bool = True, max_mel_length: int = 1024):
         self.config = config
         self.max_mel_length = max_mel_length
+        if config.tpu.matmul_precision != 'default':
+            jax.config.update('jax_default_matmul_precision',
+                              config.tpu.matmul_precision)
 
         token_dict = None
         if config.token_path and os.path.exists(config.token_path):
