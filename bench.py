@@ -71,6 +71,29 @@ def main():
     audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
     rtf = best / audio_sec
 
+    # --- training throughput (secondary metric) ---------------------------
+    from glow_tts_tpu.training.step import make_train_step
+    t_mel = 768
+    train_batch = {
+        'tokens': init_batch['tokens'],
+        'token_lengths': init_batch['token_lengths'],
+        'mels': rng.standard_normal((BATCH, t_mel, cfg.sound.mel_dim)
+                                    ).astype(np.float32),
+        'mel_lengths': np.full((BATCH,), t_mel // s * s, np.int32),
+    }
+    train_step = jax.jit(make_train_step(cfg, model))
+    state_t, _ = train_step(state, train_batch)       # compile + warm
+    for _ in range(2):
+        state_t, _ = train_step(state_t, train_batch)
+    jax.block_until_ready(state_t)
+    train_frames = int(train_batch['mel_lengths'].sum())
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state_t, metrics = train_step(state_t, train_batch)
+    jax.block_until_ready(state_t)
+    train_sec = (time.perf_counter() - t0) / 5
+    train_fps = train_frames / train_sec
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_MEASURED.json')
     vs_baseline = None
@@ -91,6 +114,9 @@ def main():
             'mel_frames': frames,
             'rtf': round(rtf, 6),
             'compute_dtype': cfg.tpu.compute_dtype,
+            'train_frames_per_sec': round(train_fps, 1),
+            'train_sec_per_step': round(train_sec, 5),
+            'train_loss': round(float(np.asarray(metrics['total'])), 4),
         },
     }))
 

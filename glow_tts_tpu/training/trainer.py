@@ -107,6 +107,36 @@ class Trainer:
         if restored is not None:
             self.state, self.step = restored
             logger.info('Restored checkpoint at step %d', self.step)
+        elif (cfg.uses_speaker_embedding
+              and cfg.speaker_embedding.type.upper() == 'GE2E'
+              and cfg.speaker_embedding.ge2e.checkpoint_path):
+            self._load_ge2e(cfg.speaker_embedding.ge2e.checkpoint_path)
+
+    def _load_ge2e(self, path: str):
+        """Load the pre-trained GE2E d-vector weights from a torch
+        checkpoint at step 0 (reference ``Train.py:555-561``)."""
+        import pickle
+        from glow_tts_tpu.utils.torch_import import convert_ge2e_state_dict
+        try:
+            try:
+                import torch
+                payload = torch.load(path, map_location='cpu',
+                                     weights_only=False)
+            except Exception:
+                with open(path, 'rb') as f:
+                    payload = pickle.load(f)
+            state_dict = payload.get('Model', payload) \
+                if isinstance(payload, dict) else payload
+            if hasattr(state_dict, 'state_dict'):
+                state_dict = state_dict.state_dict()
+            ge2e_params = convert_ge2e_state_dict(state_dict, self.config)
+            params = dict(self.state.params)
+            params['ge2e'] = ge2e_params
+            self.state = self.state.replace(params=params)
+            logger.info('Loaded pre-trained GE2E weights from %s', path)
+        except Exception as error:
+            logger.warning('Could not load GE2E checkpoint %s: %s',
+                           path, error)
 
     def _build_logging(self):
         cfg = self.config
@@ -135,6 +165,12 @@ class Trainer:
     def train(self, profile_steps: Optional[tuple] = None):
         cfg = self.config.train
         epoch = 0
+        # reference runs an evaluation pass before training starts
+        # (``Train.py:563-570``) and optionally an initial inference
+        if self.step == 0:
+            self.evaluate()
+            if cfg.initial_inference and cfg.inference_pattern_file_in_train:
+                self.run_inference_file(cfg.inference_pattern_file_in_train)
         try:
             while self.step < cfg.max_step:
                 for batch in self._train_loader(seed=epoch):

@@ -190,6 +190,46 @@ def _convert_prosody(sd, config: Config) -> Dict:
     return out
 
 
+def convert_torch_lstm_layer(w_ih, w_hh, b_ih, b_hh) -> Dict:
+    """One torch LSTM layer → flax ``OptimizedLSTMCell`` params.
+
+    torch packs gates (i, f, g, o) into ``[4H, *]`` tensors with separate
+    i/h biases; flax keeps per-gate Dense params with the bias on the
+    h-side only (fold ``b_ih + b_hh`` there — identical math).
+    """
+    w_ih, w_hh = _np(w_ih), _np(w_hh)
+    b = _np(b_ih) + _np(b_hh)
+    h = w_hh.shape[1]
+    gates = ('i', 'f', 'g', 'o')
+    out: Dict = {}
+    for n, g in enumerate(gates):
+        sl = slice(n * h, (n + 1) * h)
+        out[f'i{g}'] = {'kernel': w_ih[sl].T}
+        out[f'h{g}'] = {'kernel': w_hh[sl].T, 'bias': b[sl]}
+    return out
+
+
+def convert_ge2e_state_dict(state_dict: Dict, config: Config,
+                            lstm_prefix: str = 'layer_Dict.LSTM',
+                            linear_prefix: str = 'layer_Dict.Linear') -> Dict:
+    """Pre-trained GE2E d-vector checkpoint → :class:`GE2ESpeakerEncoder`
+    params (reference loads these from a separate submodule checkpoint,
+    ``Train.py:555-561``; the stacked-LSTM + linear topology is fixed by
+    ``Hyper_Parameters.yaml:58-66``).  Key prefixes are configurable since
+    the submodule is not vendored in the reference snapshot."""
+    sd = state_dict
+    out: Dict = {}
+    for i in range(config.speaker_embedding.ge2e.lstm.stacks):
+        out[f'lstm_cell_{i}'] = convert_torch_lstm_layer(
+            sd[f'{lstm_prefix}.weight_ih_l{i}'],
+            sd[f'{lstm_prefix}.weight_hh_l{i}'],
+            sd[f'{lstm_prefix}.bias_ih_l{i}'],
+            sd[f'{lstm_prefix}.bias_hh_l{i}'])
+    out['projection'] = {'kernel': _np(sd[f'{linear_prefix}.weight']).T,
+                         'bias': _np(sd[f'{linear_prefix}.bias'])}
+    return out
+
+
 def _convert_classifier(sd, config: Config) -> Dict:
     cls = 'layer_Dict.Speaker_Classifier_GR.layer'
     out: Dict = {}
