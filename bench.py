@@ -15,6 +15,11 @@ import time
 
 import numpy as np
 
+# reuse compiled executables across bench invocations
+os.environ.setdefault(
+    'JAX_COMPILATION_CACHE_DIR',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
+
 BATCH = 32
 TOKEN_LEN = 128
 LENGTH_SCALE = 8.0

@@ -62,7 +62,8 @@ class Trainer:
         if use_mesh and len(jax.devices()) > 1:
             self.mesh = mesh_lib.make_mesh(config)
 
-        self.train_step = jax.jit(make_train_step(config, self.model))
+        self.train_step = jax.jit(make_train_step(config, self.model),
+                                  donate_argnums=0)
         self.eval_step = jax.jit(make_eval_step(config, self.model))
         self.inference_step = jax.jit(make_inference_step(
             config, self.model, max_mel_length=max_mel_length))
