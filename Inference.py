@@ -18,6 +18,9 @@ def main():
                         help='inline sentence(s) to synthesise')
     parser.add_argument('-o', '--out_dir', default='./inference_results')
     parser.add_argument('-b', '--batch_size', default=None, type=int)
+    parser.add_argument('-wav', '--export_wav', action='store_true',
+                        help='also render wavs with the built-in '
+                             'Griffin-Lim vocoder')
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -27,11 +30,13 @@ def main():
     inferencer = Inferencer(args.checkpoint, step=args.step,
                             batch_size=args.batch_size)
     if args.file:
-        results = inferencer.inference_from_file(args.file, args.out_dir)
+        results = inferencer.inference_from_file(
+            args.file, args.out_dir, export_wav=args.export_wav)
     elif args.text:
         results = inferencer.inference(
             labels=[f'Sentence_{i}' for i in range(len(args.text))],
-            texts=args.text, out_dir=args.out_dir)
+            texts=args.text, out_dir=args.out_dir,
+            export_wav=args.export_wav)
     else:
         parser.error('give -f <tsv> or -t <text>')
     for r in results:

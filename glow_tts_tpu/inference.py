@@ -83,7 +83,9 @@ class Inferencer:
     def synthesize_items(self, items: Sequence[Dict],
                          out_dir: Optional[str] = None,
                          noise_scale: float = 1.0,
-                         seed: int = 0) -> List[Dict]:
+                         seed: int = 0,
+                         export_wav: bool = False,
+                         griffin_lim_iterations: int = 60) -> List[Dict]:
         results = []
         for start in range(0, len(items), self.batch_size):
             chunk = list(items[start:start + self.batch_size])
@@ -110,6 +112,15 @@ class Inferencer:
                         title=item['text'])
                     export_npy(out_dir, label, result['mel'],
                                result['attention'])
+                    if export_wav:
+                        from glow_tts_tpu.ops import vocoder
+                        audio = vocoder.mel_to_audio(
+                            result['mel'], self.config.sound,
+                            iterations=griffin_lim_iterations)
+                        vocoder.save_wav(
+                            os.path.join(out_dir, 'WAV', f'{label}.wav'),
+                            audio, self.config.sound.sample_rate)
+                        result['audio'] = audio
         return results
 
     def inference(self, labels: Sequence[str], texts: Sequence[str],
@@ -118,7 +129,8 @@ class Inferencer:
                   wavs_for_ge2e: Optional[Sequence[str]] = None,
                   wavs_for_prosody: Optional[Sequence[str]] = None,
                   wavs_for_pitch: Optional[Sequence[str]] = None,
-                  out_dir: Optional[str] = None) -> List[Dict]:
+                  out_dir: Optional[str] = None,
+                  export_wav: bool = False) -> List[Dict]:
         """Programmatic batch synthesis (reference ``Inference.py:225-256``)."""
         from glow_tts_tpu.data.pattern_generator import \
             load_reference_features
@@ -142,13 +154,14 @@ class Inferencer:
                                   if wavs_for_pitch else None),
             }
             items.append(load_reference_features(self.config, entry))
-        return self.synthesize_items(items, out_dir)
+        return self.synthesize_items(items, out_dir, export_wav=export_wav)
 
     def inference_from_file(self, tsv_path: str,
-                            out_dir: Optional[str] = None) -> List[Dict]:
+                            out_dir: Optional[str] = None,
+                            export_wav: bool = False) -> List[Dict]:
         from glow_tts_tpu.data.pattern_generator import \
             load_reference_features
         dataset = InferenceDataset(tsv_path)
         items = [load_reference_features(self.config, dataset[i])
                  for i in range(len(dataset))]
-        return self.synthesize_items(items, out_dir)
+        return self.synthesize_items(items, out_dir, export_wav=export_wav)
