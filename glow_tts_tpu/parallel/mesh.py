@@ -42,7 +42,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, sharded over 'data'."""
+    """Place a host batch dict onto the mesh, sharded over 'data'.
+
+    Single-process: a plain device_put scatter.  Multi-process (one host
+    per slice over DCN): each host passes its *local* shard and jax
+    assembles the global array — use :func:`shard_host_local_batch`.
+    """
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_host_local_batch(mesh: Mesh, local_batch):
+    """Multi-host path: every process contributes its per-host shard of the
+    global batch (global batch = local batch × process_count along axis 0).
+    jax stitches them into one global array without gathering over DCN."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)
