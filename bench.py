@@ -30,6 +30,7 @@ ITERS = 10
 
 def main():
     import jax
+    import jax.numpy as jnp
     from glow_tts_tpu.config import load_config
     from glow_tts_tpu.training.step import (
         create_train_state, make_inference_step)
@@ -76,28 +77,59 @@ def main():
     audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
     rtf = best / audio_sec
 
-    # --- training throughput (secondary metric) ---------------------------
-    from glow_tts_tpu.training.step import make_train_step
-    t_mel = 768
-    train_batch = {
-        'tokens': init_batch['tokens'],
-        'token_lengths': init_batch['token_lengths'],
-        'mels': rng.standard_normal((BATCH, t_mel, cfg.sound.mel_dim)
-                                    ).astype(np.float32),
-        'mel_lengths': np.full((BATCH,), t_mel // s * s, np.int32),
-    }
-    train_step = jax.jit(make_train_step(cfg, model))
-    state_t, _ = train_step(state, train_batch)       # compile + warm
-    for _ in range(2):
-        state_t, _ = train_step(state_t, train_batch)
-    jax.block_until_ready(state_t)
-    train_frames = int(train_batch['mel_lengths'].sum())
-    t0 = time.perf_counter()
-    for _ in range(5):
-        state_t, metrics = train_step(state_t, train_batch)
-    jax.block_until_ready(state_t)
-    train_sec = (time.perf_counter() - t0) / 5
-    train_fps = train_frames / train_sec
+    # --- device-side inference time (excludes host/tunnel dispatch) -------
+    # chain iterations through a carried scalar so XLA cannot hoist or
+    # overlap them; measures the true on-chip batch latency.  Opt-in: the
+    # extra compile is expensive through the remote-compile relay.
+    device_sec = device_fps = None
+    if os.environ.get('GLOWTTS_BENCH_DEVICE') == '1':
+        infer_fn = make_inference_step(cfg, model, max_mel_length=MAX_MEL)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        @jax.jit
+        def chained_inference(state, key0):
+            def body(i, carry):
+                key = jax.random.fold_in(
+                    key0, i + (carry.astype(jnp.int32) & 1))
+                out = infer_fn(state, jb, key)
+                return carry + out['mel_lengths'].sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, 10, body, jnp.zeros([], jnp.float32))
+
+        total = chained_inference(state, key)
+        jax.block_until_ready(total)
+        t0 = time.perf_counter()
+        total = chained_inference(state, key)
+        jax.block_until_ready(total)
+        device_sec = (time.perf_counter() - t0) / 10
+        device_fps = (float(np.asarray(total)) / 10) / device_sec
+
+    # --- training throughput (opt-in: adds a large compile; the remote
+    # relay does not honour the local executable cache) --------------------
+    train_fps = train_sec = None
+    train_loss = None
+    if os.environ.get('GLOWTTS_BENCH_TRAIN') == '1':
+        from glow_tts_tpu.training.step import make_train_step
+        t_mel = 768
+        train_batch = {
+            'tokens': init_batch['tokens'],
+            'token_lengths': init_batch['token_lengths'],
+            'mels': rng.standard_normal((BATCH, t_mel, cfg.sound.mel_dim)
+                                        ).astype(np.float32),
+            'mel_lengths': np.full((BATCH,), t_mel // s * s, np.int32),
+        }
+        train_step = jax.jit(make_train_step(cfg, model))
+        state_t, _ = train_step(state, train_batch)   # compile + warm
+        for _ in range(2):
+            state_t, _ = train_step(state_t, train_batch)
+        jax.block_until_ready(state_t)
+        train_frames = int(train_batch['mel_lengths'].sum())
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state_t, metrics = train_step(state_t, train_batch)
+        jax.block_until_ready(state_t)
+        train_sec = (time.perf_counter() - t0) / 5
+        train_fps = train_frames / train_sec
+        train_loss = round(float(np.asarray(metrics['total'])), 4)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_MEASURED.json')
@@ -119,9 +151,15 @@ def main():
             'mel_frames': frames,
             'rtf': round(rtf, 6),
             'compute_dtype': cfg.tpu.compute_dtype,
-            'train_frames_per_sec': round(train_fps, 1),
-            'train_sec_per_step': round(train_sec, 5),
-            'train_loss': round(float(np.asarray(metrics['total'])), 4),
+            'device_side_frames_per_sec':
+                round(device_fps, 1) if device_fps else None,
+            'device_side_sec_per_batch':
+                round(device_sec, 5) if device_sec else None,
+            'train_frames_per_sec':
+                round(train_fps, 1) if train_fps else None,
+            'train_sec_per_step':
+                round(train_sec, 5) if train_sec else None,
+            'train_loss': train_loss,
         },
     }))
 

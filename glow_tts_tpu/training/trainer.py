@@ -147,12 +147,15 @@ class Trainer:
         }
 
     def _device_put(self, batch):
-        if self.mesh is None:
-            return batch
-        arrays = {k: v for k, v in batch.items()
-                  if isinstance(v, np.ndarray)}
-        placed = mesh_lib.shard_batch(self.mesh, arrays)
-        return {**batch, **placed}
+        # host-side frame count rides along so step accounting never has
+        # to read a device array back
+        num_frames = int(np.asarray(batch['mel_lengths']).sum())
+        if self.mesh is not None:
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray)}
+            batch = {**batch, **mesh_lib.shard_batch(self.mesh, arrays)}
+        batch['num_frames'] = num_frames
+        return batch
 
     def _train_loader(self, seed: int):
         return DataLoader(self.train_dataset,
@@ -166,6 +169,16 @@ class Trainer:
     def train(self, profile_steps: Optional[tuple] = None):
         cfg = self.config.train
         epoch = 0
+        # Preemption safety: SIGTERM (TPU maintenance / spot reclaim)
+        # checkpoints before exit — the reference only handles Ctrl-C
+        # (``Train.py:582-587``).
+        import signal
+
+        def _on_sigterm(signum, frame):
+            raise KeyboardInterrupt('SIGTERM')
+
+        previous_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
         # reference runs an evaluation pass before training starts
         # (``Train.py:563-570``) and optionally an initial inference
         if self.step == 0:
@@ -175,6 +188,9 @@ class Trainer:
         try:
             while self.step < cfg.max_step:
                 for batch in self._train_loader(seed=epoch):
+                    num_frames = batch.pop(
+                        'num_frames',
+                        None) or int(np.asarray(batch['mel_lengths']).sum())
                     if profile_steps and self.step == profile_steps[0]:
                         jax.profiler.start_trace(
                             os.path.join(self.config.log_path, 'profile'))
@@ -183,7 +199,7 @@ class Trainer:
                     if profile_steps and self.step == profile_steps[1]:
                         jax.block_until_ready(self.state)
                         jax.profiler.stop_trace()
-                    self._after_step(metrics, batch)
+                    self._after_step(metrics, num_frames)
                     if self.step >= cfg.max_step:
                         break
                 epoch += 1
@@ -192,24 +208,35 @@ class Trainer:
                         self.step)
             self.checkpoints.save(self.step, self.state, wait=True)
             raise
+        finally:
+            signal.signal(signal.SIGTERM, previous_handler)
         self.checkpoints.save(self.step, self.state, wait=True)
 
-    def _after_step(self, metrics, batch):
+    def _after_step(self, metrics, num_frames: int):
         cfg = self.config.train
-        frames = int(np.asarray(batch['mel_lengths']).sum()) \
-            if isinstance(batch.get('mel_lengths'), np.ndarray) \
-            else int(jax.device_get(batch['mel_lengths']).sum())
+        self.timer.add_frames(num_frames)
+        # Accumulate on-device: forcing metrics to host floats every step
+        # would serialise the dispatch pipeline behind a device sync.
         for tag, value in metrics.items():
-            self.scalar_accum[f'Loss/{tag}'] += float(np.asarray(value))
+            self.scalar_accum[f'Loss/{tag}'] = (
+                self.scalar_accum.get(f'Loss/{tag}', 0.0) + value)
 
         if self.step % cfg.checkpoint_save_interval == 0:
             self.checkpoints.save(self.step, self.state)
         if self.step % cfg.logging_interval == 0:
-            scalars = {tag: value / cfg.logging_interval
+            scalars = {tag: float(np.asarray(value)) / cfg.logging_interval
                        for tag, value in self.scalar_accum.items()}
+            # Failure detection (absent in the reference): stop on NaNs
+            # instead of training through them; last checkpoint survives.
+            if not np.isfinite(scalars.get('Loss/total', 0.0)):
+                logger.error('Non-finite loss around step %d — aborting; '
+                             'last checkpoint preserved in %s', self.step,
+                             self.checkpoints.directory)
+                raise FloatingPointError(
+                    f'non-finite training loss at step {self.step}')
             scalars['Learning_Rate'] = float(
                 learning_rate_at(self.config, self.step))
-            scalars.update(self.timer.tick(frames))
+            scalars.update(self.timer.tick(cfg.logging_interval))
             self.writers['train'].add_scalars(scalars, self.step)
             self.scalar_accum = defaultdict(float)
         if self.step % cfg.evaluation_interval == 0:

@@ -62,24 +62,30 @@ class SummaryLogger:
 
 
 class StepTimer:
-    """Step-time / throughput metrics (frames per second per chip)."""
+    """Step-time / throughput metrics (frames per second per chip).
+
+    ``add_frames`` accumulates per-step work; ``tick(steps)`` converts the
+    elapsed interval into per-step time and frames/sec."""
 
     def __init__(self):
         self._last: Optional[float] = None
-        self.step_times: list = []
+        self._frames: int = 0
 
-    def tick(self, frames: int = 0) -> Dict[str, float]:
+    def add_frames(self, frames: int) -> None:
+        self._frames += int(frames)
+
+    def tick(self, steps: int = 1) -> Dict[str, float]:
         now = time.perf_counter()
         metrics: Dict[str, float] = {}
-        if self._last is not None:
+        if self._last is not None and steps > 0:
             dt = now - self._last
-            self.step_times.append(dt)
-            metrics['step_time_sec'] = dt
-            if frames:
-                metrics['mel_frames_per_sec'] = frames / dt
+            metrics['step_time_sec'] = dt / steps
+            if self._frames:
+                metrics['mel_frames_per_sec'] = self._frames / dt
         self._last = now
+        self._frames = 0
         return metrics
 
     def reset(self):
         self._last = None
-        self.step_times.clear()
+        self._frames = 0
