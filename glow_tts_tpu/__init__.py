@@ -10,4 +10,19 @@ from glow_tts_tpu.config import Config, load_config
 
 __version__ = '0.1.0'
 
-__all__ = ['Config', 'load_config', '__version__']
+__all__ = ['Config', 'load_config', 'GlowTTS', 'Inferencer', 'Trainer',
+           '__version__']
+
+
+def __getattr__(name):
+    # heavy imports stay lazy so `import glow_tts_tpu` is cheap
+    if name == 'GlowTTS':
+        from glow_tts_tpu.models.glow_tts import GlowTTS
+        return GlowTTS
+    if name == 'Inferencer':
+        from glow_tts_tpu.inference import Inferencer
+        return Inferencer
+    if name == 'Trainer':
+        from glow_tts_tpu.training.trainer import Trainer
+        return Trainer
+    raise AttributeError(name)
