@@ -94,9 +94,30 @@ class ActNorm(nn.Module):
 
 
 class InvertibleConv(nn.Module):
-    """Channel-grouped invertible 1×1 convolution."""
+    """Channel-grouped invertible 1×1 convolution.
+
+    The learned parameter is the reference's ``num_split × num_split``
+    orthogonal-init matrix acting on interleaved channel groups
+    (channel c = (a, m, b') → group g = (a, b'), ``Modules.py:738-756``).
+    Instead of materialising the regrouping with reshape/transpose pairs
+    (which profile as pure layout-copy time on TPU — ~16 % of a train
+    step), the permutation is folded into a block-sparse C×C channel
+    mixing matrix M[i, j] = W[g(i), g(j)]·δ(m(i), m(j)) applied as one
+    MXU matmul.  Mathematically identical; logdet unchanged
+    (det M = det(W)^{C/split}).
+    """
     num_split: int
     dtype: Optional[jnp.dtype] = None
+
+    @staticmethod
+    def _grouping(c: int, s: int):
+        import numpy as np
+        idx = np.arange(c)
+        a = idx // (c // 2)
+        rem = idx % (c // 2)
+        m = rem // (s // 2)
+        b = rem % (s // 2)
+        return a * (s // 2) + b, m
 
     @nn.compact
     def __call__(self, x, mask, reverse: bool = False):
@@ -114,10 +135,6 @@ class InvertibleConv(nn.Module):
         weight = self.param('weight', orthogonal_init)
 
         lengths = mask.astype(jnp.float32).sum(axis=(1, 2))
-        # interleaved regrouping: channel c = (a, m, b') → group g = (a, b')
-        xg = x.reshape(b, t, 2, c // s, s // 2)
-        xg = xg.transpose(0, 1, 2, 4, 3).reshape(b, t, s, c // s)
-
         if reverse:
             w = jnp.linalg.inv(weight)
             logdet = None
@@ -126,10 +143,11 @@ class InvertibleConv(nn.Module):
             _, logabsdet = jnp.linalg.slogdet(weight)
             logdet = logabsdet * (c / s) * lengths
 
-        zg = jnp.einsum('btgm,hg->bthm', xg, w.astype(xg.dtype),
-                        preferred_element_type=jnp.float32).astype(x.dtype)
-        z = zg.reshape(b, t, 2, s // 2, c // s)
-        z = z.transpose(0, 1, 2, 4, 3).reshape(b, t, c)
+        g_idx, m_idx = self._grouping(c, s)
+        mixing = (w[g_idx[:, None], g_idx[None, :]]
+                  * (m_idx[:, None] == m_idx[None, :]))      # [C_out, C_in]
+        z = jnp.einsum('btc,dc->btd', x, mixing.astype(x.dtype),
+                       preferred_element_type=jnp.float32).astype(x.dtype)
         return z * mask, logdet
 
 
