@@ -143,7 +143,7 @@ _CHUNK = 64          # mel frames per streamed DMA chunk
 
 
 def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
-                dir_ref, lp_buf, v_ref, in_sems, out_sem):
+                dir_ref, lp_buf, in_sems, out_sem):
     """Fused forward-DP + backtrace for one batch tile.
 
     The log-probability matrix stays in HBM and is streamed into VMEM in
@@ -154,10 +154,14 @@ def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
     Layouts (time-major so a per-frame row is a leading-dim slice):
       tx_ref, ty_ref: [B_t, 1]            i32  (VMEM, blocked per tile)
       lp_hbm:   [T_mel, B, T_tok]         f32  (HBM, whole array)
-      path_hbm: [T_mel, B, T_tok]         f32  (HBM, whole array, output)
-      dir_ref:  [T_mel, B_t, T_tok]       f32  (VMEM scratch)
+      path_hbm: [T_mel, B, T_tok]         bf16 (HBM, whole array, output)
+      dir_ref:  [T_mel, B_t, T_tok]       bf16 (VMEM scratch; holds exact
+                 0/1 direction bits — bf16 halves VMEM so the batch tile
+                 fills all 16 bf16 sublanes)
       lp_buf:   [2, _CHUNK, B_t, T_tok]   f32  (VMEM scratch, double buffer)
-      v_ref:    [B_t, T_tok]              f32  (VMEM scratch, DP value column)
+
+    The DP value column is a loop-carried *value* (vector registers), not a
+    scratch Ref — the sequential dependence then never round-trips VMEM.
     """
     T_mel, B_t, T_tok = dir_ref.shape
     tile = pl.program_id(0)
@@ -173,9 +177,8 @@ def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
             in_sems.at[slot])
 
     chunk_dma(0, 0).start()
-    v_ref[:] = jnp.full((B_t, T_tok), _NEG, jnp.float32)
 
-    def forward_chunk(chunk, _):
+    def forward_chunk(chunk, v):
         slot = jax.lax.rem(chunk, 2)
 
         @pl.when(chunk + 1 < num_chunks)
@@ -184,37 +187,46 @@ def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
 
         chunk_dma(slot, chunk).wait()
 
-        def forward(r, _):
+        def forward(r, v_prev):
             y = chunk * _CHUNK + r
-            v_prev = v_ref[:]
             lp_row = lp_buf[slot, r]                         # [B_t, T_tok]
             shifted = pltpu.roll(v_prev, shift=1, axis=1)
             stay = jnp.where(x_iota == y, _NEG, v_prev)
             move = jnp.where(x_iota == 0,
                              jnp.where(y == 0, 0.0, _NEG), shifted)
             direction = (x_iota == y) | (v_prev < shifted)
-            dir_ref[y] = direction.astype(jnp.float32)
-            v_ref[:] = jnp.maximum(stay, move) + lp_row
-            return 0
+            dir_ref[y] = direction.astype(jnp.bfloat16)
+            return jnp.maximum(stay, move) + lp_row
 
-        jax.lax.fori_loop(0, _CHUNK, forward, 0)
-        return 0
+        # mosaic supports only unroll=1 or full unroll; the 64-step chunk
+        # body is small enough to fully unroll (kills per-step loop latency)
+        return jax.lax.fori_loop(0, _CHUNK, forward, v, unroll=_CHUNK)
 
-    jax.lax.fori_loop(0, num_chunks, forward_chunk, 0)
+    v_init = jnp.full((B_t, T_tok), _NEG, jnp.float32)
+    jax.lax.fori_loop(0, num_chunks, forward_chunk, v_init)
 
     def backward(i, index):
         y = T_mel - 1 - i
-        dir_row = dir_ref[y]                                 # [B_t, T_tok]
+        dir_row = dir_ref[y].astype(jnp.float32)             # [B_t, T_tok]
         active = y < ty                                      # [B_t, 1]
         at_index = x_iota == index                           # [B_t, T_tok]
         onehot = at_index & active
         dir_at = jnp.sum(jnp.where(at_index, dir_row, 0.0),
                          axis=1, keepdims=True)              # [B_t, 1]
-        dir_ref[y] = onehot.astype(jnp.float32)
+        dir_ref[y] = onehot.astype(jnp.bfloat16)
         step = active & (index > 0) & (dir_at > 0.5)
         return index - step.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, T_mel, backward, tx_ref[:, :1] - 1)
+    def backward_chunk(cc, index):
+        base = T_mel - (cc + 1) * _CHUNK
+
+        def step(r, idx):
+            return backward(T_mel - 1 - (base + _CHUNK - 1 - r), idx)
+
+        return jax.lax.fori_loop(0, _CHUNK, step, index, unroll=_CHUNK)
+
+    jax.lax.fori_loop(0, T_mel // _CHUNK, backward_chunk,
+                      tx_ref[:, :1] - 1)
 
     out_dma = pltpu.make_async_copy(
         dir_ref, path_hbm.at[:, pl.ds(tile * B_t, B_t), :], out_sem)
@@ -225,7 +237,7 @@ def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
 def maximum_path_pallas(log_p: jax.Array,
                         token_lengths: jax.Array,
                         mel_lengths: jax.Array,
-                        batch_tile: int = 8) -> jax.Array:
+                        batch_tile: int = 16) -> jax.Array:
     """MAS as a single Pallas TPU kernel, batch tiled onto VPU sublanes.
 
     log_p: [B, T_tok, T_mel]; lengths [B].  Returns [B, T_tok, T_mel] f32.
@@ -257,22 +269,22 @@ def maximum_path_pallas(log_p: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((T_mel, Bp, T_tok), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T_mel, Bp, T_tok), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((T_mel, b_t, T_tok), jnp.float32),    # dir/path table
+            pltpu.VMEM((T_mel, b_t, T_tok), jnp.bfloat16),   # dir/path table
             pltpu.VMEM((2, _CHUNK, b_t, T_tok), jnp.float32),  # lp stream
-            pltpu.VMEM((b_t, T_tok), jnp.float32),           # value column
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(
-                (T_mel * b_t * T_tok + 2 * _CHUNK * b_t * T_tok
-                 + 4 * b_t * T_tok) * 4 + 1024 * 1024),
+                T_mel * b_t * T_tok * 2 + 2 * _CHUNK * b_t * T_tok * 4
+                + 4 * b_t * T_tok * 4 + 1024 * 1024),
         ),
     )(tx, ty, lp)
 
-    path = jnp.transpose(out, (1, 2, 0))                     # [B, T_tok, T_mel]
+    # bf16 holds 0/1 exactly; widen outside the kernel
+    path = jnp.transpose(out, (1, 2, 0)).astype(jnp.float32)
     return path[:B, :T_tok_in, :T_mel_in]
 
 
