@@ -40,6 +40,23 @@ from glow_tts_tpu.utils.logging import StepTimer, SummaryLogger, logger
 from glow_tts_tpu.utils.plotting import export_mel_figure, export_npy
 
 
+def attention_diagonality(attentions: np.ndarray,
+                          token_lengths: np.ndarray,
+                          mel_lengths: np.ndarray) -> float:
+    """Mean closeness of MAS paths to the ideal diagonal — a quantitative
+    alignment-health signal (the reference only eyeballs attention images,
+    ``Train.py:341-346``).  1.0 = perfectly linear alignment."""
+    scores = []
+    for i in range(attentions.shape[0]):
+        tx, ty = int(token_lengths[i]), int(mel_lengths[i])
+        if tx < 2 or ty < 2:
+            continue
+        idx = np.argmax(attentions[i, :tx, :ty], axis=0)     # token per frame
+        ideal = np.arange(ty) * (tx - 1) / (ty - 1)
+        scores.append(1.0 - np.abs(idx - ideal).mean() / tx)
+    return float(np.mean(scores)) if scores else 0.0
+
+
 class Trainer:
     def __init__(self, config: Config, initial_step: int = 0,
                  use_mesh: bool = True, max_mel_length: int = 1024):
@@ -262,9 +279,14 @@ class Trainer:
         count = 0
         last = None
         for batch in loader:
+            batch.pop('num_frames', None)
             loss_dict, outputs = self.eval_step(self.state, batch)
             for tag, value in loss_dict.items():
                 totals[f'Loss/{tag}'] += float(np.asarray(value))
+            totals['Alignment/diagonality'] += attention_diagonality(
+                np.asarray(outputs['attentions']),
+                np.asarray(batch['token_lengths']),
+                np.asarray(batch['mel_lengths']))
             count += 1
             last = (batch, outputs)
         if not count:
