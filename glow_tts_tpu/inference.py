@@ -32,6 +32,11 @@ class Inferencer:
                  max_mel_length: int = 1024):
         if config is None:
             snapshot = os.path.join(checkpoint_path, 'Hyper_Parameters.yaml')
+            if not os.path.exists(snapshot):
+                raise FileNotFoundError(
+                    f'{checkpoint_path!r} is not a glow_tts_tpu checkpoint '
+                    f'directory (no Hyper_Parameters.yaml snapshot found — '
+                    f'pass config= explicitly to override)')
             config = load_config(snapshot)
         self.config = config
         self.batch_size = batch_size or config.inference_batch_size \

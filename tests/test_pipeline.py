@@ -130,6 +130,29 @@ def test_trainer_end_to_end(workdir):
     assert trainer3.step == 2
 
 
+def test_trainer_gr_mode_smoke(workdir):
+    """GR-mode trainer end-to-end on the same archive (adversarial
+    classifier + pitch conditioning through the full loop)."""
+    work, cfg = workdir
+    import dataclasses
+    from glow_tts_tpu.training.trainer import Trainer
+    gr_cfg = dataclasses.replace(
+        cfg,
+        mode='GR',
+        speaker_embedding=dataclasses.replace(
+            cfg.speaker_embedding, type='LUT', num_speakers=2,
+            embedding_size=16),
+        prosody_encoder=cfg.prosody_encoder,
+        checkpoint_path=str(work / 'Checkpoint_GR'),
+        log_path=str(work / 'Log_GR'),
+        train=dataclasses.replace(cfg.train, max_step=2,
+                                  evaluation_interval=2,
+                                  checkpoint_save_interval=2))
+    trainer = Trainer(gr_cfg, use_mesh=False, max_mel_length=128)
+    trainer.train()
+    assert trainer.step == 2
+
+
 def test_inferencer_from_checkpoint(workdir, tmp_path):
     work, cfg = workdir
     from glow_tts_tpu.inference import Inferencer
