@@ -1,0 +1,46 @@
+"""Fixed-seed end-to-end regression pins (SURVEY §4c).
+
+Golden values recorded on the 8-device virtual-CPU test platform at round 1;
+they guard against silent semantic drift in the model/loss/optimizer stack.
+A legitimate change to initialisation or math should update them knowingly.
+Tolerances are loose enough to absorb compiler/codegen LSB differences.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from glow_tts_tpu.training.step import (create_train_state, make_eval_step,
+                                        make_train_step)
+from tests.helpers import synthetic_batch, tiny_config
+
+GOLDEN_EVAL0 = {'duration': 0.569171, 'mle': 2.680661, 'total': 3.249831}
+GOLDEN_STEPS = [
+    {'duration': 0.831983, 'mle': 2.860810, 'total': 3.692793,
+     'grad_norm': 17.009539},
+    {'duration': 0.639203, 'mle': 2.709382, 'total': 3.348585,
+     'grad_norm': 13.211501},
+    {'duration': 0.802122, 'mle': 2.487336, 'total': 3.289457,
+     'grad_norm': 9.945951},
+]
+
+
+def test_fixed_seed_training_regression():
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, rng=np.random.default_rng(1234))
+    model, state = create_train_state(cfg, jax.random.PRNGKey(42), batch)
+    train = jax.jit(make_train_step(cfg, model))
+    evalf = jax.jit(make_eval_step(cfg, model))
+
+    eval0 = {k: float(np.asarray(v))
+             for k, v in evalf(state, batch)[0].items()}
+    for key, expected in GOLDEN_EVAL0.items():
+        assert eval0[key] == pytest.approx(expected, rel=2e-3), \
+            f'eval {key}: {eval0[key]} vs golden {expected}'
+
+    for golden in GOLDEN_STEPS:
+        state, metrics = train(state, batch)
+        got = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        for key, expected in golden.items():
+            assert got[key] == pytest.approx(expected, rel=5e-3), \
+                f'step {key}: {got[key]} vs golden {expected}'
