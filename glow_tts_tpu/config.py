@@ -249,6 +249,10 @@ class TPUConfig:
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the
     # MXU; bit-level parity, slower).  Training uses 'default'.
     matmul_precision: str = 'default'
+    # Rematerialise each flow step on the backward pass (jax.checkpoint):
+    # trades ~⅓ more FLOPs for O(stack) less activation memory — enables
+    # much larger batch × sequence products per chip.
+    remat_flows: bool = False
 
 
 @dataclass(frozen=True)

@@ -265,14 +265,21 @@ class FlowDecoder(nn.Module):
         if pitch is not None:
             pitch, _ = squeeze(pitch[..., None], mask, s)   # [B, T/s, s]
 
+        step_cls = FlowStep
+        if self.config.tpu.remat_flows and not reverse:
+            # recompute each flow step in the backward pass instead of
+            # keeping its activations (reverse/deterministic flags stay
+            # static so python control flow inside the step is unaffected)
+            step_cls = nn.remat(FlowStep, static_argnums=(6, 7))
         steps = [
-            FlowStep(self.config, self.dtype, name=f'flow_{i}')
+            step_cls(self.config, self.dtype, name=f'flow_{i}')
             for i in range(self.config.decoder.stack)
         ]
         logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
         for step in (reversed(steps) if reverse else steps):
+            # positional so the remat static_argnums line up
             x, ld = step(x, sq_mask, speaker, prosody, pitch,
-                         reverse=reverse, deterministic=deterministic)
+                         reverse, deterministic)
             logdet_total += ld
 
         x, out_mask = unsqueeze(x, sq_mask, s)
