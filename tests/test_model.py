@@ -100,3 +100,17 @@ def test_teacher_forced_attention_matches_mas_properties():
     # duration targets: log(sum of attention row + eps)
     dur = np.asarray(outputs['log_duration_targets'])
     assert dur.shape == (attn.shape[0], attn.shape[1], 1)
+
+
+def test_inference_batch_one_and_minimal_tokens():
+    cfg, batch, model, state = _setup('Vanilla')
+    infer = jax.jit(make_inference_step(cfg, model, max_mel_length=32))
+    tiny = {
+        'tokens': batch['tokens'][:1, :4],
+        'token_lengths': np.array([2], np.int32),   # <S> <E> only
+    }
+    out = infer(state, tiny, jax.random.PRNGKey(0))
+    mels = np.asarray(out['mels'])
+    assert mels.shape == (1, 32, cfg.sound.mel_dim)
+    assert np.isfinite(mels).all()
+    assert int(out['mel_lengths'][0]) >= cfg.decoder.num_squeeze

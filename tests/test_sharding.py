@@ -61,3 +61,14 @@ def test_multi_step_sharded_training():
         state, metrics = step(state, sharded)
     assert np.isfinite(float(metrics['total']))
     assert int(state.step) == 3
+
+
+def test_shard_host_local_batch_single_process():
+    """With one process the host-local path must equal the global path."""
+    cfg = tiny_config()
+    mesh = mesh_lib.make_mesh(cfg)
+    batch = {'x': np.arange(16, dtype=np.float32).reshape(16, 1)}
+    a = mesh_lib.shard_batch(mesh, batch)['x']
+    b = mesh_lib.shard_host_local_batch(mesh, batch)['x']
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert b.sharding.spec == a.sharding.spec
