@@ -106,6 +106,13 @@ class Tokenizer:
         return self.token_dict[EOS]
 
     def encode(self, text: str) -> np.ndarray:
+        unknown = sorted({c for c in text if c not in self.token_dict})
+        if unknown:
+            raise ValueError(
+                f'text contains characters missing from the token '
+                f'dictionary: {unknown!r} (the dictionary is built from the '
+                f'training corpus — regenerate it with the ETL, or filter '
+                f'the text) in {text!r}')
         return np.array(
             [self.token_dict[letter] for letter in [BOS] + list(text) + [EOS]],
             dtype=np.int32)
