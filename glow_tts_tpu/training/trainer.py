@@ -175,10 +175,13 @@ class Trainer:
         return batch
 
     def _train_loader(self, seed: int):
+        # Num_Workers (reference: DataLoader worker processes) maps to the
+        # prefetch queue depth of the background producer thread here.
         return DataLoader(self.train_dataset,
                           TrainCollater(self.config, self.tokenizer),
                           self.config.train.batch_size,
-                          shuffle=True, seed=seed, prefetch=2,
+                          shuffle=True, seed=seed,
+                          prefetch=max(self.config.train.num_workers, 1),
                           device_put=self._device_put)
 
     # ------------------------------------------------------------------
