@@ -139,6 +139,52 @@ def test_mode_training_forward_parity(mode, tmp_path):
             t_classified.numpy(), rtol=1e-3, atol=5e-4)
 
 
+def test_gr_inference_mel_parity(tmp_path):
+    """GR inference: pitch tracks are linearly resampled to the predicted
+    mel lengths (torch F.interpolate align_corners=True vs our fractional
+    gather, ``Modules.py:387-405``) and condition every WaveNet layer."""
+    import torch
+    tmodel, jmodel, params, cfg = _setup('GR', tmp_path)
+    tokens, token_lengths, mels, mel_lengths, speakers, pitches = \
+        _inputs(seed=9)
+    pitch_lengths = mel_lengths.copy()
+
+    with torch.no_grad():
+        t_mels, t_lengths, _ = tmodel.inference(
+            tokens=torch.from_numpy(tokens),
+            token_lengths=torch.from_numpy(token_lengths),
+            mels_for_prosody=torch.from_numpy(mels).transpose(2, 1),
+            mel_lengths_for_prosody=torch.from_numpy(mel_lengths),
+            speakers=torch.from_numpy(speakers),
+            mels_for_ge2e=None,
+            pitches=torch.from_numpy(pitches),
+            pitch_lengths=torch.from_numpy(pitch_lengths),
+            noise_scale=0.0,
+            length_scale=torch.full((tokens.shape[0],), 1.0))
+
+    j_out = jmodel.apply(
+        {'params': params},
+        tokens=jnp.asarray(tokens, jnp.int32),
+        token_lengths=jnp.asarray(token_lengths, jnp.int32),
+        mels_for_prosody=jnp.asarray(mels),
+        mel_lengths_for_prosody=jnp.asarray(mel_lengths, jnp.int32),
+        speakers=jnp.asarray(speakers, jnp.int32),
+        pitches=jnp.asarray(pitches),
+        pitch_lengths=jnp.asarray(pitch_lengths, jnp.int32),
+        noise_key=jax.random.PRNGKey(0),
+        noise_scale=0.0,
+        max_mel_length=256,
+        method=jmodel.inference)
+
+    j_mels = np.asarray(j_out['mels'])
+    j_lengths = np.asarray(j_out['mel_lengths'])
+    t_np = t_mels.numpy().transpose(0, 2, 1)
+    for i in range(tokens.shape[0]):
+        n = min(int(j_lengths[i]), t_np.shape[1])
+        mae = np.abs(j_mels[i, :n] - t_np[i, :n]).mean()
+        assert mae < 1e-3, f'GR sample {i}: mel MAE {mae:.2e}'
+
+
 @pytest.mark.parametrize('mode', ['SE', 'PE'])
 def test_mode_inference_mel_parity(mode, tmp_path):
     import torch
