@@ -185,6 +185,63 @@ class ProsodyCheckDataset:
                 'speaker': pattern['Speaker']}
 
 
+def verify_archive(pattern_path: str,
+                   metadata_file: str = 'METADATA.PICKLE',
+                   sample: int = 50) -> Dict:
+    """Integrity-check a pattern archive: metadata/file-tree agreement and
+    (for a sample) that pickles parse with consistent lengths.  Returns a
+    report dict; ops tooling the reference lacks."""
+    import random
+    report = {'files': 0, 'missing': [], 'corrupt': [], 'mismatched': [],
+              'orphans': []}
+    metadata = load_metadata(pattern_path, metadata_file)
+    listed = set(metadata['File_List'])
+    report['files'] = len(listed)
+
+    on_disk = set()
+    for root, _, files in os.walk(pattern_path):
+        for file in files:
+            if file.upper().endswith('.PICKLE') and \
+                    file.upper() != metadata_file.upper():
+                on_disk.add(os.path.relpath(
+                    os.path.join(root, file), pattern_path).replace('\\', '/'))
+    report['missing'] = sorted(listed - on_disk)
+    report['orphans'] = sorted(on_disk - listed)
+
+    rng = random.Random(0)
+    for rel in rng.sample(sorted(listed & on_disk),
+                          min(sample, len(listed & on_disk))):
+        try:
+            pattern = load_pattern(os.path.join(pattern_path, rel))
+            if pattern['Mel'].shape[0] != metadata['Mel_Length_Dict'][rel]:
+                report['mismatched'].append(rel)
+            if pattern['Mel'].shape[0] != pattern['Pitch'].shape[0]:
+                report['mismatched'].append(rel)
+        except Exception:
+            report['corrupt'].append(rel)
+    report['ok'] = not (report['missing'] or report['corrupt']
+                        or report['mismatched'])
+    return report
+
+
+def _verify_main():
+    import argparse
+    import json
+    parser = argparse.ArgumentParser(
+        description='Verify a pattern archive against its metadata.')
+    parser.add_argument('path')
+    parser.add_argument('--metadata', default='METADATA.PICKLE')
+    parser.add_argument('--sample', default=50, type=int)
+    args = parser.parse_args()
+    try:
+        report = verify_archive(args.path, args.metadata, args.sample)
+    except FileNotFoundError:
+        parser.error(f'{args.path!r} has no {args.metadata} — not a '
+                     f'pattern archive (run the ETL first)')
+    print(json.dumps(report, indent=2))
+    raise SystemExit(0 if report['ok'] else 1)
+
+
 @dataclass
 class InferenceDataset:
     """TSV inference specs: ``label  text  length_scale  speaker
@@ -222,3 +279,7 @@ class InferenceDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         return self.entries[idx]
+
+
+if __name__ == "__main__":
+    _verify_main()
