@@ -380,13 +380,39 @@ def _resolve_type(cls: type, field_name: str) -> type:
 
 
 def load_config(path_or_dict) -> Config:
-    """Load a :class:`Config` from a reference-format YAML file or a dict."""
+    """Load a :class:`Config` from a reference-format YAML file or a dict.
+
+    Two reference keys have no direct field analogue on TPU and are mapped
+    onto the ``TPU`` section when the YAML provides them (explicit ``TPU``
+    keys always win):
+
+    * ``Use_Cython_Alignment`` (``Hyper_Parameters.yaml:15``, dispatched at
+      ``Modules.py:930-932``): ``true`` selects the native fast MAS path →
+      ``tpu.mas_backend: pallas``; ``false`` selects the python fallback →
+      ``tpu.mas_backend: scan``.
+    * ``Use_Mixed_Precision`` (``Train.py:42-47`` apex AMP): ``true`` →
+      bf16 compute (``tpu.compute_dtype: bfloat16``); ``false`` → full
+      fp32 compute.
+    """
     if isinstance(path_or_dict, Mapping):
         data = path_or_dict
     else:
         with open(path_or_dict, encoding='utf-8') as f:
             data = yaml.safe_load(f)
-    return _coerce(Config, data)
+    config = _coerce(Config, data)
+
+    tpu_section = data.get('TPU') or data.get('tpu') or {}
+    replacements = {}
+    if 'Use_Cython_Alignment' in data and 'mas_backend' not in tpu_section:
+        replacements['mas_backend'] = (
+            'pallas' if data['Use_Cython_Alignment'] else 'scan')
+    if 'Use_Mixed_Precision' in data and 'compute_dtype' not in tpu_section:
+        replacements['compute_dtype'] = (
+            'bfloat16' if data['Use_Mixed_Precision'] else 'float32')
+    if replacements:
+        config = dataclasses.replace(
+            config, tpu=dataclasses.replace(config.tpu, **replacements))
+    return config
 
 
 def save_config(config: Config, path: str) -> None:

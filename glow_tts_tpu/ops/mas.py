@@ -234,6 +234,18 @@ def _mas_kernel(tx_ref, ty_ref, lp_hbm, path_hbm,
     out_dma.wait()
 
 
+# TPU cores have ~16 MiB of VMEM; leave headroom for Mosaic's own
+# temporaries and the loop-carried vector registers.
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def _pallas_vmem_bytes(t_mel: int, b_t: int, t_tok: int) -> int:
+    """Static VMEM footprint of :func:`maximum_path_pallas` scratch buffers."""
+    return (t_mel * b_t * t_tok * 2           # dir/path table (bf16)
+            + 2 * _CHUNK * b_t * t_tok * 4    # lp stream double buffer (f32)
+            + 4 * b_t * t_tok * 4)            # value column + temporaries
+
+
 def maximum_path_pallas(log_p: jax.Array,
                         token_lengths: jax.Array,
                         mel_lengths: jax.Array,
@@ -242,9 +254,25 @@ def maximum_path_pallas(log_p: jax.Array,
 
     log_p: [B, T_tok, T_mel]; lengths [B].  Returns [B, T_tok, T_mel] f32.
     T_tok is padded to a lane multiple (128) and T_mel to a chunk multiple.
+
+    The direction table must fit in VMEM; for shapes where it cannot
+    (T_mel × 16 × T_tok_padded bf16 beyond ~13 MiB) this falls back to the
+    bit-identical :func:`maximum_path_scan` path with a warning instead of
+    dying in a Mosaic allocation error.
     """
     B, T_tok_in, T_mel_in = log_p.shape
     b_t = batch_tile
+    est_mel = T_mel_in + (-T_mel_in) % _CHUNK
+    est_tok = T_tok_in + (-T_tok_in) % 128
+    needed = _pallas_vmem_bytes(est_mel, b_t, est_tok)
+    if needed > _VMEM_BUDGET_BYTES:
+        import warnings
+        warnings.warn(
+            f'MAS pallas kernel needs ~{needed / 2 ** 20:.1f} MiB VMEM for '
+            f'shape [{B}, {T_tok_in}, {T_mel_in}] (budget '
+            f'{_VMEM_BUDGET_BYTES / 2 ** 20:.0f} MiB) — falling back to the '
+            'lax.scan path', stacklevel=2)
+        return maximum_path_scan(log_p, token_lengths, mel_lengths)
     pad_b = (-B) % b_t
     pad_tok = (-T_tok_in) % 128
     pad_mel = (-T_mel_in) % _CHUNK

@@ -81,6 +81,17 @@ def modified_noam_schedule(initial: float, base: int) -> Callable:
     return schedule
 
 
+def noam_schedule(initial: float, warmup_steps: int) -> Callable:
+    """Classic Noam warmup/decay (``Noam_Scheduler.py:5-15``; present but
+    unused in the reference config — kept for schedule parity)."""
+    def schedule(count):
+        step = jnp.maximum(count.astype(jnp.float32), 1.0)
+        scale = warmup_steps ** 0.5 * jnp.minimum(
+            step ** -0.5, step * warmup_steps ** -1.5)
+        return initial * scale
+    return schedule
+
+
 def make_optimizer(config: Config,
                    frozen_prefixes: tuple = ('ge2e',)
                    ) -> optax.GradientTransformation:

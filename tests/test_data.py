@@ -118,3 +118,27 @@ def test_reference_yaml_loads_and_roundtrips(tmp_path):
     path = str(tmp_path / 'snap.yaml')
     save_config(cfg, path)
     assert load_config(path) == cfg
+
+
+def test_reference_compat_keys_map_to_tpu_section():
+    """``Use_Cython_Alignment`` / ``Use_Mixed_Precision`` from the pristine
+    reference YAML drive the TPU MAS backend and compute dtype
+    (``Hyper_Parameters.yaml:15``, ``Train.py:42-47``)."""
+    cfg = load_config('/root/reference/Hyper_Parameters.yaml')
+    # reference ships Use_Cython_Alignment: true (native fast path) and
+    # Use_Mixed_Precision: false (full precision)
+    assert cfg.tpu.mas_backend == 'pallas'
+    assert cfg.tpu.compute_dtype == 'float32'
+
+    cfg = load_config({'Use_Cython_Alignment': False,
+                       'Use_Mixed_Precision': True})
+    assert cfg.tpu.mas_backend == 'scan'
+    assert cfg.tpu.compute_dtype == 'bfloat16'
+
+    # explicit TPU keys always win over the compat mapping
+    cfg = load_config({'Use_Cython_Alignment': False,
+                       'Use_Mixed_Precision': False,
+                       'TPU': {'mas_backend': 'pallas',
+                               'compute_dtype': 'bfloat16'}})
+    assert cfg.tpu.mas_backend == 'pallas'
+    assert cfg.tpu.compute_dtype == 'bfloat16'

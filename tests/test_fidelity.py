@@ -219,3 +219,44 @@ def test_mle_loss_parity(models):
         cfg.decoder.num_squeeze, cfg.sound.mel_dim)
     np.testing.assert_allclose(float(j_loss), float(t_loss),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_actnorm_data_dependent_init_parity(torch_ref):
+    """ActNorm's masked data-dependent initialisation must match the
+    reference ``Activation_Norm.initialize`` (``Modules.py:698-711``) on the
+    same first batch — the one reference behaviour the weight-import tests
+    bypass (they force ``initialized=True``)."""
+    import torch
+    from glow_tts_tpu.models.decoder import ActNorm
+
+    tact = torch_ref.Activation_Norm()
+    rng = np.random.default_rng(5)
+    b, c, t = 3, 160, 24
+    x = (rng.standard_normal((b, c, t)) * 2.0 + 0.7).astype(np.float32)
+    mask = np.ones((b, 1, t), np.float32)
+    mask[1, :, 18:] = 0.0
+    mask[2, :, 10:] = 0.0
+    x = x * mask
+
+    with torch.no_grad():
+        t_z, t_logdet = tact(torch.from_numpy(x), torch.from_numpy(mask))
+    assert tact.initialized
+
+    jx = jnp.asarray(x.transpose(0, 2, 1))          # channels-last
+    jmask = jnp.asarray(mask.transpose(0, 2, 1))
+    mod = ActNorm()
+    variables = mod.init(jax.random.PRNGKey(0), jx, jmask)
+
+    np.testing.assert_allclose(
+        np.asarray(variables['params']['logs']),
+        tact.logs.detach().numpy().reshape(-1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(variables['params']['bias']),
+        tact.bias.detach().numpy().reshape(-1), rtol=1e-5, atol=1e-6)
+
+    j_z, j_logdet = mod.apply(variables, jx, jmask)
+    np.testing.assert_allclose(
+        np.asarray(j_z), t_z.numpy().transpose(0, 2, 1),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(j_logdet), t_logdet.numpy(), rtol=1e-5, atol=1e-4)

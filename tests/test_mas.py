@@ -105,3 +105,19 @@ def test_scan_vmap_consistency_under_padding():
         jnp.asarray(padded), jnp.asarray(tl), jnp.asarray(ml)))
     np.testing.assert_array_equal(got[:, :20, :50], full)
     assert got[:, 20:, :].sum() == 0 and got[:, :, 50:].sum() == 0
+
+
+def test_pallas_oversize_falls_back_to_scan():
+    """Shapes whose direction table exceeds the VMEM budget must fall back
+    to the scan path (same result) instead of a Mosaic allocation error."""
+    rng = np.random.default_rng(21)
+    t_tok, t_mel = 48, 3072          # padded dir table ≈ 36 MiB > budget
+    assert mas._pallas_vmem_bytes(
+        t_mel, 16, t_tok + (-t_tok) % 128) > mas._VMEM_BUDGET_BYTES
+    log_p, tl, ml = _random_problem(rng, b=2, t_tok=t_tok, t_mel=t_mel)
+    expected = np.asarray(mas.maximum_path_scan(
+        jnp.asarray(log_p), jnp.asarray(tl), jnp.asarray(ml)))
+    with pytest.warns(UserWarning, match='VMEM'):
+        got = np.asarray(mas.maximum_path_pallas(
+            jnp.asarray(log_p), jnp.asarray(tl), jnp.asarray(ml)))
+    np.testing.assert_array_equal(got, expected)
