@@ -15,11 +15,6 @@ import time
 
 import numpy as np
 
-# reuse compiled executables across bench invocations
-os.environ.setdefault(
-    'JAX_COMPILATION_CACHE_DIR',
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), '.jax_cache'))
-
 BATCH = 32
 TOKEN_LEN = 128
 LENGTH_SCALE = 8.0
@@ -27,10 +22,46 @@ MAX_MEL = 1152          # capacity ≥ ceil(e^0·8)·128 = 1024 frames
 WARMUP = 3
 ITERS = 10
 
+# peak dense-compute throughput per chip (bf16), for the MFU estimate
+_PEAK_FLOPS = {
+    'TPU v5 lite': 197e12,      # v5e
+    'TPU v5': 459e12,           # v5p
+    'TPU v4': 275e12,
+    'TPU v6 lite': 918e12,      # v6e / Trillium
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, 'device_kind', '')
+    for name, peak in _PEAK_FLOPS.items():
+        if kind.startswith(name):
+            return peak
+    return 0.0
+
+
+def _compiled_flops(compiled) -> float:
+    """Model FLOPs per step from XLA's own cost analysis of the compiled
+    executable (robust across jax versions returning dict or [dict])."""
+    try:
+        cost = compiled.cost_analysis()
+    except Exception:
+        return 0.0
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get('flops', 0.0) or 0.0)
+
 
 def main():
     import jax
     import jax.numpy as jnp
+    # Reuse compiled executables across bench invocations.  Must go through
+    # jax.config (a sitecustomize pre-imports jax, so the
+    # JAX_COMPILATION_CACHE_DIR env var is read too early to set here).
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from glow_tts_tpu.config import load_config
     from glow_tts_tpu.training.step import (
         create_train_state, make_inference_step)
@@ -89,10 +120,11 @@ def main():
 
     # --- device-side inference time (excludes host/tunnel dispatch) -------
     # chain iterations through a carried scalar so XLA cannot hoist or
-    # overlap them; measures the true on-chip batch latency.  Opt-in: the
-    # extra compile is expensive through the remote-compile relay.
+    # overlap them; measures the true on-chip batch latency.  Default-on so
+    # BENCH_rN.json is self-sufficient; GLOWTTS_BENCH_DEVICE=0 opts out if
+    # the extra compile is a concern.
     device_sec = device_fps = None
-    if os.environ.get('GLOWTTS_BENCH_DEVICE') == '1':
+    if os.environ.get('GLOWTTS_BENCH_DEVICE', '1') != '0':
         infer_fn = make_inference_step(cfg, model, max_mel_length=MAX_MEL)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -113,11 +145,11 @@ def main():
         device_sec = (time.perf_counter() - t0) / 10
         device_fps = (float(np.asarray(total)) / 10) / device_sec
 
-    # --- training throughput (opt-in: adds a large compile; the remote
-    # relay does not honour the local executable cache) --------------------
+    # --- training throughput + MFU (default-on; GLOWTTS_BENCH_TRAIN=0
+    # opts out) -------------------------------------------------------------
     train_fps = train_sec = None
-    train_loss = None
-    if os.environ.get('GLOWTTS_BENCH_TRAIN') == '1':
+    train_loss = train_flops = train_mfu = None
+    if os.environ.get('GLOWTTS_BENCH_TRAIN', '1') != '0':
         from glow_tts_tpu.training.step import make_train_step
         t_mel = 768
         train_batch = {
@@ -127,19 +159,40 @@ def main():
                                         ).astype(np.float32),
             'mel_lengths': np.full((BATCH,), t_mel // s * s, np.int32),
         }
-        train_step = jax.jit(make_train_step(cfg, model))
-        state_t, _ = train_step(state, train_batch)   # compile + warm
-        for _ in range(2):
-            state_t, _ = train_step(state_t, train_batch)
-        jax.block_until_ready(state_t)
+        # chain CHAIN steps through the carried state inside one jit so the
+        # timing is device-side (per-dispatch tunnel latency amortised away)
+        # and XLA cannot overlap or hoist the iterations.
+        CHAIN = 10
+        train_fn = make_train_step(cfg, model)
+        jb_train = {k: jnp.asarray(v) for k, v in train_batch.items()}
+        _, metrics_shape = jax.eval_shape(train_fn, state, jb_train)
+        zero_metrics = jax.tree_util.tree_map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), metrics_shape)
+
+        @jax.jit
+        def chained_train(st):
+            return jax.lax.fori_loop(
+                0, CHAIN, lambda i, carry: train_fn(carry[0], jb_train),
+                (st, zero_metrics))
+
+        compiled = chained_train.lower(state).compile()
+        # XLA cost analysis counts a while-loop body ONCE, not ×trip-count
+        # (verified here: the 10-step chained executable reports the same
+        # total flops as a single-step compile), so the chained total IS the
+        # per-step figure.
+        train_flops = _compiled_flops(compiled)
+        out = compiled(state)                    # warm (reuses the lowering)
+        jax.block_until_ready(out)
         train_frames = int(train_batch['mel_lengths'].sum())
         t0 = time.perf_counter()
-        for _ in range(5):
-            state_t, metrics = train_step(state_t, train_batch)
-        jax.block_until_ready(state_t)
-        train_sec = (time.perf_counter() - t0) / 5
+        out = compiled(out[0])
+        jax.block_until_ready(out)
+        train_sec = (time.perf_counter() - t0) / CHAIN
         train_fps = train_frames / train_sec
-        train_loss = round(float(np.asarray(metrics['total'])), 4)
+        train_loss = round(float(np.asarray(out[1]['total'])), 4)
+        peak = _peak_flops(jax.devices()[0])
+        if train_flops and peak:
+            train_mfu = train_flops / train_sec / peak
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_MEASURED.json')
@@ -171,6 +224,8 @@ def main():
             'train_sec_per_step':
                 round(train_sec, 5) if train_sec else None,
             'train_loss': train_loss,
+            'train_flops_per_step': train_flops,
+            'train_mfu': round(train_mfu, 4) if train_mfu else None,
         },
     }))
 
