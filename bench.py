@@ -118,6 +118,26 @@ def main():
     audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
     rtf = pipelined / audio_sec
 
+    # fast mode: bf16 activations + 1-pass MXU (MAE ~4e-2 — for use cases
+    # that trade fidelity for throughput; the headline above runs the
+    # default fidelity-grade policy, MAE 7.7e-5)
+    fast_fps = None
+    if os.environ.get('GLOWTTS_BENCH_FAST', '1') != '0':
+        import dataclasses
+        cfg_fast = dataclasses.replace(cfg, tpu=dataclasses.replace(
+            cfg.tpu, inference_dtype='bfloat16',
+            inference_matmul_precision='default'))
+        infer_fast = jax.jit(make_inference_step(
+            cfg_fast, model, max_mel_length=MAX_MEL))
+        out = infer_fast(state, batch, key)
+        jax.block_until_ready(out)
+        outs = []
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            outs.append(infer_fast(state, batch, jax.random.fold_in(key, i)))
+        jax.block_until_ready(outs)
+        fast_fps = frames / ((time.perf_counter() - t0) / ITERS)
+
     # --- device-side inference time (excludes host/tunnel dispatch) -------
     # chain iterations through a carried scalar so XLA cannot hoist or
     # overlap them; measures the true on-chip batch latency.  Default-on so
@@ -128,14 +148,21 @@ def main():
         infer_fn = make_inference_step(cfg, model, max_mel_length=MAX_MEL)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
+        # the carry must consume the produced mels, not just mel_lengths —
+        # lengths depend only on the encoder, so a lengths-only carry lets
+        # XLA dead-code-eliminate the entire inverse flow (measured: 2.7 ms
+        # "device time" vs 13.5 ms real full-path time)
         @jax.jit
         def chained_inference(state, key0):
             def body(i, carry):
+                frames, checksum = carry
                 key = jax.random.fold_in(
-                    key0, i + (carry.astype(jnp.int32) & 1))
+                    key0, i + (checksum.astype(jnp.int32) & 1))
                 out = infer_fn(state, jb, key)
-                return carry + out['mel_lengths'].sum().astype(jnp.float32)
-            return jax.lax.fori_loop(0, 10, body, jnp.zeros([], jnp.float32))
+                return (frames + out['mel_lengths'].sum().astype(jnp.float32),
+                        checksum + out['mels'].astype(jnp.float32).mean())
+            zero = jnp.zeros([], jnp.float32)
+            return jax.lax.fori_loop(0, 10, body, (zero, zero))
 
         total = chained_inference(state, key)
         jax.block_until_ready(total)
@@ -143,7 +170,7 @@ def main():
         total = chained_inference(state, key)
         jax.block_until_ready(total)
         device_sec = (time.perf_counter() - t0) / 10
-        device_fps = (float(np.asarray(total)) / 10) / device_sec
+        device_fps = (float(np.asarray(total[0])) / 10) / device_sec
 
     # --- training throughput + MFU (default-on; GLOWTTS_BENCH_TRAIN=0
     # opts out) -------------------------------------------------------------
@@ -215,6 +242,10 @@ def main():
             'mel_frames': frames,
             'rtf': round(rtf, 6),
             'compute_dtype': cfg.tpu.compute_dtype,
+            'inference_policy': f'{cfg.tpu.inference_dtype}+'
+                                f'{cfg.tpu.inference_matmul_precision}',
+            'fast_mode_frames_per_sec':
+                round(fast_fps, 1) if fast_fps else None,
             'device_side_frames_per_sec':
                 round(device_fps, 1) if device_fps else None,
             'device_side_sec_per_batch':

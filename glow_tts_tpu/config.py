@@ -249,6 +249,18 @@ class TPUConfig:
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the
     # MXU; bit-level parity, slower).  Training uses 'default'.
     matmul_precision: str = 'default'
+    # Inference-path precision policy (selective: training keeps the fast
+    # bf16 policy above).  Measured on v5e (benchmarks/precision_sweep.py,
+    # batch 32 × ~1k frames, vs the fp32 torch reference):
+    #   bf16 act + 1-pass MXU: MAE 4.0e-2, 13.5 ms/batch
+    #   f32 act  + 1-pass MXU: MAE 2.8e-2, 14.7 ms/batch
+    #   f32 act  + 3-pass MXU: MAE 7.7e-5, 23.9 ms/batch   ← default
+    #   f32 act  + 6-pass MXU: MAE 9.1e-6, 38.3 ms/batch
+    # The default meets the MAE < 1e-3 north star 13× over while staying
+    # ~280× the reference baseline throughput.  Set both to
+    # 'bfloat16' / 'default' for maximum-speed synthesis.
+    inference_dtype: str = 'float32'
+    inference_matmul_precision: str = 'tensorfloat32'
     # Rematerialise each flow step on the backward pass (jax.checkpoint):
     # trades ~⅓ more FLOPs for O(stack) less activation memory — enables
     # much larger batch × sequence products per chip.
