@@ -24,6 +24,11 @@ def main():
         level=logging.INFO,
         format='%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: %(message)s')
 
+    from glow_tts_tpu.parallel import mesh as mesh_lib
+    # multi-host entry (no-op unless GLOWTTS_MULTIHOST=1): must run before
+    # any backend use so every pod process sees the global device set
+    mesh_lib.initialize_distributed()
+
     from glow_tts_tpu.config import load_config
     from glow_tts_tpu.training.trainer import Trainer
 

@@ -22,21 +22,32 @@ import numpy as np
 
 
 class BatchSampler:
+    """``num_shards``/``shard_index`` give per-host data loading on a pod:
+    every process applies the same seeded permutation and keeps a disjoint
+    stride of it, so the union over hosts covers the dataset exactly once
+    per epoch with no coordination traffic."""
+
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  sort_factor: int = 8, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True,
+                 shard_index: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.sort_factor = sort_factor
         self.seed = seed
         self.drop_last = drop_last
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self.epoch = 0
 
     def __iter__(self) -> Iterator[Sequence[int]]:
         n = len(self.dataset)
         rng = np.random.default_rng(self.seed + self.epoch)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.num_shards > 1:
+            order = order[self.shard_index::self.num_shards]
+            n = len(order)
         if self.shuffle and hasattr(self.dataset, 'mel_length'):
             window = self.batch_size * self.sort_factor
             chunks = []
@@ -58,6 +69,8 @@ class BatchSampler:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.num_shards > 1:
+            n = len(range(self.shard_index, n, self.num_shards))
         return n // self.batch_size if self.drop_last \
             else -(-n // self.batch_size)
 
@@ -68,11 +81,14 @@ class DataLoader:
     def __init__(self, dataset, collater: Callable, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = True,
-                 device_put: Optional[Callable] = None):
+                 device_put: Optional[Callable] = None,
+                 shard_index: int = 0, num_shards: int = 1):
         self.dataset = dataset
         self.collater = collater
         self.sampler = BatchSampler(dataset, batch_size, shuffle,
-                                    seed=seed, drop_last=drop_last)
+                                    seed=seed, drop_last=drop_last,
+                                    shard_index=shard_index,
+                                    num_shards=num_shards)
         self.prefetch = prefetch
         self.device_put = device_put
 

@@ -10,6 +10,7 @@ for tensor-parallel growth (unused at this model scale — ~30 M params).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -17,6 +18,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from glow_tts_tpu.config import Config
+
+
+# Thin indirection so multi-host logic is testable on one machine (tests
+# monkeypatch these to fake a pod).
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def initialize_distributed() -> bool:
+    """Env-gated ``jax.distributed.initialize`` for multi-host training.
+
+    The reference is single-process (``Train.py:27-35``); on a TPU pod slice
+    every host runs this same program and jax auto-detects the coordinator.
+    Opt-in via ``GLOWTTS_MULTIHOST=1`` (optionally with explicit
+    ``GLOWTTS_COORDINATOR`` / ``GLOWTTS_NUM_PROCESSES`` /
+    ``GLOWTTS_PROCESS_ID`` for non-TPU clusters).  Returns True when running
+    multi-process afterwards.
+    """
+    if os.environ.get('GLOWTTS_MULTIHOST', '') not in ('1', 'true', 'True'):
+        return jax.process_count() > 1
+    coordinator = os.environ.get('GLOWTTS_COORDINATOR')
+    kwargs = {}
+    if coordinator:
+        kwargs = {
+            'coordinator_address': coordinator,
+            'num_processes': int(os.environ['GLOWTTS_NUM_PROCESSES']),
+            'process_id': int(os.environ['GLOWTTS_PROCESS_ID']),
+        }
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
 
 
 def make_mesh(config: Config,
@@ -58,6 +93,34 @@ def shard_host_local_batch(mesh: Mesh, local_batch):
     global batch (global batch = local batch × process_count along axis 0).
     jax stitches them into one global array without gathering over DCN."""
     sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch)
+
+
+def local_batch_view(x) -> np.ndarray:
+    """Host view of the process-local rows of a (possibly multi-host
+    sharded) array.  Fully-addressable arrays (single process, or
+    replicated) come back whole; on a pod a batch-sharded array comes back
+    as this process's contiguous slice."""
+    if not isinstance(x, jax.Array):
+        return np.asarray(x)
+    if x.is_fully_addressable:
+        return np.asarray(x)
+    seen = {}
+    for shard in x.addressable_shards:
+        key = tuple((sl.start or 0, sl.stop) for sl in shard.index)
+        seen.setdefault(key, shard.data)
+    ordered = sorted(seen.items(), key=lambda kv: kv[0][0][0])
+    return np.concatenate([np.asarray(d) for _, d in ordered], axis=0)
+
+
+def replicate_host_local_batch(mesh: Mesh, local_batch):
+    """Multi-host path for *identical* per-host data (fixed inference
+    sentences, prosody-check batches): every process passes the same local
+    array, which IS the global value under a replicated sharding — no DCN
+    gather needed."""
+    sharding = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         local_batch)

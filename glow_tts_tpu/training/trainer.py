@@ -57,6 +57,35 @@ def attention_diagonality(attentions: np.ndarray,
     return float(np.mean(scores)) if scores else 0.0
 
 
+@jax.jit
+def attention_diagonality_device(attentions, token_lengths, mel_lengths):
+    """SPMD-safe :func:`attention_diagonality`: runs where the (possibly
+    multi-host sharded) attention lives and returns a replicated scalar, so
+    eval metrics aggregate over the global batch with no host gathers."""
+    import jax.numpy as jnp
+    b, t_tok, t_mel = attentions.shape
+    tx = token_lengths.astype(jnp.float32)
+    ty = mel_lengths.astype(jnp.float32)
+    idx = jnp.argmax(attentions, axis=1).astype(jnp.float32)   # [B, T_mel]
+    frames = jnp.arange(t_mel, dtype=jnp.float32)[None, :]
+    ideal = frames * (tx[:, None] - 1.0) / jnp.maximum(ty[:, None] - 1.0, 1.0)
+    valid = frames < ty[:, None]
+    err = jnp.sum(jnp.abs(idx - ideal) * valid, axis=1) \
+        / jnp.maximum(ty, 1.0)
+    score = 1.0 - err / jnp.maximum(tx, 1.0)
+    ok = (token_lengths >= 2) & (mel_lengths >= 2)
+    return jnp.sum(score * ok) / jnp.maximum(jnp.sum(ok), 1)
+
+
+class _NullWriter:
+    """No-op summary writer for non-main processes on a pod."""
+
+    def add_scalars(self, *a, **k): pass
+    def add_images(self, *a, **k): pass
+    def add_histograms(self, *a, **k): pass
+    def add_embedding(self, *a, **k): pass
+
+
 class Trainer:
     def __init__(self, config: Config, initial_step: int = 0,
                  use_mesh: bool = True, max_mel_length: int = 1024):
@@ -66,18 +95,30 @@ class Trainer:
             jax.config.update('jax_default_matmul_precision',
                               config.tpu.matmul_precision)
 
+        # Multi-host: every process of a pod slice runs this same program
+        # with per-host data loading; writes happen on process 0 only
+        # (checkpoint *saves* are collective — orbax coordinates them).
+        self.num_processes = mesh_lib.process_count()
+        self.process_index = mesh_lib.process_index()
+        self.is_main = self.process_index == 0
+        if config.train.batch_size % self.num_processes:
+            raise ValueError(
+                f'global batch size {config.train.batch_size} must divide '
+                f'by process count {self.num_processes}')
+        self.local_batch_size = config.train.batch_size // self.num_processes
+
         token_dict = None
         if config.token_path and os.path.exists(config.token_path):
             token_dict = load_token_dict(config.token_path)
         self.tokenizer = Tokenizer(token_dict)
 
+        self.mesh = None
+        if use_mesh and (len(jax.devices()) > 1 or self.num_processes > 1):
+            self.mesh = mesh_lib.make_mesh(config)
+
         self._build_datasets()
         self._build_model(initial_step)
         self._build_logging()
-
-        self.mesh = None
-        if use_mesh and len(jax.devices()) > 1:
-            self.mesh = mesh_lib.make_mesh(config)
 
         self.train_step = jax.jit(make_train_step(config, self.model),
                                   donate_argnums=0)
@@ -114,12 +155,16 @@ class Trainer:
     def _build_model(self, initial_step: int):
         cfg = self.config
         collater = TrainCollater(cfg, self.tokenizer)
+        # deliberately UNsharded (shuffle off, no process shard): every pod
+        # process must run ActNorm's data-dependent init on the *same* first
+        # batch or the replicated parameters would diverge across hosts
         loader = DataLoader(self.train_dataset, collater,
-                            cfg.train.batch_size, shuffle=False, prefetch=0)
+                            self.local_batch_size, shuffle=False, prefetch=0)
         init_batch = next(iter(loader))
         self.model, self.state = create_train_state(
             cfg, jax.random.PRNGKey(0), init_batch)
-        self.checkpoints = CheckpointManager(cfg.checkpoint_path, cfg)
+        self.checkpoints = CheckpointManager(
+            cfg.checkpoint_path, cfg if self.is_main else None)
         restored = self.checkpoints.restore(self.state, initial_step)
         self.step = 0
         if restored is not None:
@@ -158,31 +203,48 @@ class Trainer:
 
     def _build_logging(self):
         cfg = self.config
+        if not self.is_main:
+            null = _NullWriter()
+            self.writers = {'train': null, 'eval': null}
+            return
         self.writers = {
             'train': SummaryLogger(os.path.join(cfg.log_path, 'Train')),
             'eval': SummaryLogger(os.path.join(cfg.log_path, 'Evaluation')),
         }
 
-    def _device_put(self, batch):
+    def _device_put(self, batch, replicate: bool = False):
         # host-side frame count rides along so step accounting never has
-        # to read a device array back
-        num_frames = int(np.asarray(batch['mel_lengths']).sum())
+        # to read a device array back (global across the pod: every process
+        # loads 1/num_processes of the batch)
+        num_frames = (int(np.asarray(batch['mel_lengths']).sum())
+                      * (1 if replicate else self.num_processes))
         if self.mesh is not None:
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
-            batch = {**batch, **mesh_lib.shard_batch(self.mesh, arrays)}
+            if replicate:
+                arrays = mesh_lib.replicate_host_local_batch(
+                    self.mesh, arrays)
+            elif self.num_processes > 1:
+                arrays = mesh_lib.shard_host_local_batch(self.mesh, arrays)
+            else:
+                arrays = mesh_lib.shard_batch(self.mesh, arrays)
+            batch = {**batch, **arrays}
         batch['num_frames'] = num_frames
         return batch
 
     def _train_loader(self, seed: int):
         # Num_Workers (reference: DataLoader worker processes) maps to the
         # prefetch queue depth of the background producer thread here.
+        # Each pod process loads a disjoint shard of every epoch
+        # (deterministic seeded permutation, strided by process index).
         return DataLoader(self.train_dataset,
                           TrainCollater(self.config, self.tokenizer),
-                          self.config.train.batch_size,
+                          self.local_batch_size,
                           shuffle=True, seed=seed,
                           prefetch=max(self.config.train.num_workers, 1),
-                          device_put=self._device_put)
+                          device_put=self._device_put,
+                          shard_index=self.process_index,
+                          num_shards=self.num_processes)
 
     # ------------------------------------------------------------------
 
@@ -242,6 +304,9 @@ class Trainer:
                 self.scalar_accum.get(f'Loss/{tag}', 0.0) + value)
 
         if self.step % cfg.checkpoint_save_interval == 0:
+            # collective on a pod: every process participates and orbax
+            # coordinates the single-writer commit (process-0-only saving
+            # would deadlock on multi-host arrays)
             self.checkpoints.save(self.step, self.state)
         if self.step % cfg.logging_interval == 0:
             scalars = {tag: float(np.asarray(value)) / cfg.logging_interval
@@ -273,32 +338,59 @@ class Trainer:
     def evaluate(self):
         """Dev losses + teacher-forced vs free-running attention images
         (the reference's de-facto alignment correctness check,
-        ``Train.py:267-358``)."""
+        ``Train.py:267-358``).
+
+        Sharded like training: each pod process loads a disjoint eval shard
+        and the jitted eval step consumes the globally-sharded batch, so
+        every loss scalar is already the global-batch mean (replicated) —
+        eval throughput scales with the mesh and no gather is needed."""
+        import itertools
         collater = TrainCollater(self.config, self.tokenizer)
+        # every process must execute the same number of collective steps;
+        # on a pod that means a fixed per-process batch count
+        if self.num_processes > 1:
+            num_batches = ((len(self.eval_dataset) // self.num_processes)
+                           // self.local_batch_size)
+            drop_last = True
+        else:
+            num_batches = None
+            drop_last = False
         loader = DataLoader(self.eval_dataset, collater,
-                            self.config.train.batch_size, shuffle=False,
-                            prefetch=0, drop_last=False)
+                            self.local_batch_size, shuffle=False,
+                            prefetch=0, drop_last=drop_last,
+                            shard_index=self.process_index,
+                            num_shards=self.num_processes)
+        data_axis = self.mesh.shape['data'] if self.mesh is not None else 1
         totals: Dict[str, float] = defaultdict(float)
         count = 0
         last = None
-        for batch in loader:
+        iterator = iter(loader)
+        if num_batches is not None:
+            iterator = itertools.islice(iterator, num_batches)
+        for batch in iterator:
             batch.pop('num_frames', None)
+            rows = batch['tokens'].shape[0]
+            host_batch = batch
+            if self.mesh is not None and (self.num_processes > 1
+                                          or rows % data_axis == 0):
+                batch = self._device_put(dict(batch))
+                batch.pop('num_frames', None)
             loss_dict, outputs = self.eval_step(self.state, batch)
             for tag, value in loss_dict.items():
                 totals[f'Loss/{tag}'] += float(np.asarray(value))
-            totals['Alignment/diagonality'] += attention_diagonality(
-                np.asarray(outputs['attentions']),
-                np.asarray(batch['token_lengths']),
-                np.asarray(batch['mel_lengths']))
+            totals['Alignment/diagonality'] += float(np.asarray(
+                attention_diagonality_device(
+                    outputs['attentions'], batch['token_lengths'],
+                    batch['mel_lengths'])))
             count += 1
-            last = (batch, outputs)
+            last = (host_batch, batch, outputs)
         if not count:
             return
         self.writers['eval'].add_scalars(
             {tag: value / count for tag, value in totals.items()}, self.step)
 
         if last is not None:
-            batch, outputs = last
+            host_batch, batch, outputs = last
             infer_batch = {
                 'tokens': batch['tokens'],
                 'token_lengths': batch['token_lengths'],
@@ -311,15 +403,18 @@ class Trainer:
             }
             free = self.inference_step(self.state, infer_batch,
                                        jax.random.PRNGKey(self.step))
+            if not self.is_main:
+                return
+            # image export reads this process's local rows only
+            attn_train = mesh_lib.local_batch_view(outputs['attentions'])
+            attn_free = mesh_lib.local_batch_view(free['attentions'])
             i = 0
-            t_tok = int(batch['token_lengths'][i])
-            t_mel = int(batch['mel_lengths'][i])
+            t_tok = int(host_batch['token_lengths'][i])
+            t_mel = int(host_batch['mel_lengths'][i])
             self.writers['eval'].add_images({
-                'Mel/Target': np.asarray(batch['mels'][i, :t_mel]).T,
-                'Attention/From_Train':
-                    np.asarray(outputs['attentions'][i, :t_tok, :t_mel]),
-                'Attention/From_Inference':
-                    np.asarray(free['attentions'])[i, :t_tok],
+                'Mel/Target': np.asarray(host_batch['mels'][i, :t_mel]).T,
+                'Attention/From_Train': attn_train[i, :t_tok, :t_mel],
+                'Attention/From_Inference': attn_free[i, :t_tok],
             }, self.step)
             self.writers['eval'].add_histograms(self.state.params, self.step)
 
@@ -341,8 +436,16 @@ class Trainer:
         for start in range(0, len(items), batch_size):
             chunk = items[start:start + batch_size]
             batch = collater(chunk)
+            if self.num_processes > 1 and self.mesh is not None:
+                # fixed sentences are identical on every pod process —
+                # replicate them (collective step; exports below are
+                # process-0 only)
+                batch = self._device_put(batch, replicate=True)
+                batch.pop('num_frames', None)
             outputs = self.inference_step(self.state, batch,
                                           jax.random.PRNGKey(self.step))
+            if not self.is_main:
+                continue
             mels = np.asarray(outputs['mels'])
             lengths = np.asarray(outputs['mel_lengths'])
             attns = np.asarray(outputs['attentions'])
@@ -371,6 +474,9 @@ class Trainer:
                             prefetch=0, drop_last=False)
         embeddings, labels = [], []
         for batch in loader:
+            if self.num_processes > 1 and self.mesh is not None:
+                batch = self._device_put(batch, replicate=True)
+                batch.pop('num_frames', None)
             out = self.model.apply(
                 {'params': self.state.params},
                 batch['mels'], batch['mel_lengths'],

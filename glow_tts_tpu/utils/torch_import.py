@@ -209,24 +209,93 @@ def convert_torch_lstm_layer(w_ih, w_hh, b_ih, b_hh) -> Dict:
     return out
 
 
+def _describe_keys(sd: Dict) -> str:
+    lines = []
+    for k, v in sd.items():
+        try:
+            shape = tuple(_np(v).shape)
+        except Exception:
+            shape = '?'
+        lines.append(f'  {k}: {shape}')
+    return '\n'.join(lines)
+
+
 def convert_ge2e_state_dict(state_dict: Dict, config: Config,
-                            lstm_prefix: str = 'layer_Dict.LSTM',
-                            linear_prefix: str = 'layer_Dict.Linear') -> Dict:
+                            lstm_prefix: str = None,
+                            linear_prefix: str = None) -> Dict:
     """Pre-trained GE2E d-vector checkpoint → :class:`GE2ESpeakerEncoder`
     params (reference loads these from a separate submodule checkpoint,
     ``Train.py:555-561``; the stacked-LSTM + linear topology is fixed by
-    ``Hyper_Parameters.yaml:58-66``).  Key prefixes are configurable since
-    the submodule is not vendored in the reference snapshot."""
+    ``Hyper_Parameters.yaml:58-66``).
+
+    The submodule is not vendored in the reference snapshot, so the exact
+    module paths inside its checkpoints are unknowable here.  By default the
+    tensors are therefore *discovered*: torch LSTMs always name their
+    per-layer tensors ``…weight_ih_l{i}`` / ``…weight_hh_l{i}`` /
+    ``…bias_*_l{i}`` whatever the module path, and the output projection is
+    the unique ``…weight``/``…bias`` pair shaped
+    ``[embedding_size, lstm_size]``.  Explicit prefixes still win when
+    given; any mismatch raises an error listing the checkpoint's actual
+    keys and shapes."""
     sd = state_dict
+    ge2e = config.speaker_embedding.ge2e
+    h = ge2e.lstm.sizes
+    emb = config.speaker_embedding.embedding_size
+    mel = config.sound.mel_dim
+
+    def fail(what):
+        raise KeyError(
+            f'GE2E checkpoint: {what}.\nCheckpoint contains:\n'
+            + _describe_keys(sd))
+
     out: Dict = {}
-    for i in range(config.speaker_embedding.ge2e.lstm.stacks):
+    for i in range(ge2e.lstm.stacks):
+        tensors = {}
+        for part in ('weight_ih', 'weight_hh', 'bias_ih', 'bias_hh'):
+            if lstm_prefix:
+                key = f'{lstm_prefix}.{part}_l{i}'
+                if key not in sd:
+                    fail(f'missing LSTM tensor {key!r}')
+            else:
+                matches = [k for k in sd if k.endswith(f'{part}_l{i}')]
+                if len(matches) != 1:
+                    fail(f'expected exactly one key ending '
+                         f'"{part}_l{i}", found {matches}')
+                key = matches[0]
+            tensors[part] = sd[key]
+        w_ih = _np(tensors['weight_ih'])
+        expected_in = mel if i == 0 else h
+        if w_ih.shape != (4 * h, expected_in):
+            fail(f'LSTM layer {i} weight_ih has shape {w_ih.shape}, '
+                 f'expected {(4 * h, expected_in)} for LSTM.Sizes={h}, '
+                 f'Mel_Dim={mel}')
         out[f'lstm_cell_{i}'] = convert_torch_lstm_layer(
-            sd[f'{lstm_prefix}.weight_ih_l{i}'],
-            sd[f'{lstm_prefix}.weight_hh_l{i}'],
-            sd[f'{lstm_prefix}.bias_ih_l{i}'],
-            sd[f'{lstm_prefix}.bias_hh_l{i}'])
-    out['projection'] = {'kernel': _np(sd[f'{linear_prefix}.weight']).T,
-                         'bias': _np(sd[f'{linear_prefix}.bias'])}
+            tensors['weight_ih'], tensors['weight_hh'],
+            tensors['bias_ih'], tensors['bias_hh'])
+
+    if linear_prefix:
+        wkey, bkey = f'{linear_prefix}.weight', f'{linear_prefix}.bias'
+        if wkey not in sd or bkey not in sd:
+            fail(f'missing projection tensors {wkey!r}/{bkey!r}')
+    else:
+        candidates = []
+        for k, v in sd.items():
+            if not k.endswith('weight') or 'weight_ih' in k \
+                    or 'weight_hh' in k:
+                continue
+            b = k[:-len('weight')] + 'bias'
+            try:
+                shape = tuple(_np(v).shape)
+            except Exception:
+                continue
+            if shape == (emb, h) and b in sd:
+                candidates.append((k, b))
+        if len(candidates) != 1:
+            fail(f'expected exactly one [{emb}, {h}] projection '
+                 f'weight/bias pair, found {[c[0] for c in candidates]}')
+        wkey, bkey = candidates[0]
+    out['projection'] = {'kernel': _np(sd[wkey]).T,
+                         'bias': _np(sd[bkey])}
     return out
 
 

@@ -77,3 +77,76 @@ def test_ge2e_encoder_parity_with_torch_stack():
                            method=encoder.embed_utterances)
     norms = np.linalg.norm(np.asarray(pooled), axis=-1)
     np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+
+
+def test_ge2e_import_discovers_unknown_prefixes():
+    """The submodule's exact module paths are unknown — tensors must be
+    found by torch-LSTM naming convention and projection shape, whatever
+    prefix the checkpoint uses."""
+    import torch
+    torch.manual_seed(3)
+    cfg = tiny_config(mode='SE', **{
+        'Speaker_Embedding': {
+            'Type': 'GE2E', 'Num_Speakers': 4, 'Embedding_Size': 16,
+            'GE2E': {'LSTM': {'Sizes': 16, 'Stacks': 2},
+                     'Inference': {'Samples': 2, 'Slice_Length': 12,
+                                   'Overlap_Length': 4}}}})
+    mel_dim = cfg.sound.mel_dim
+    lstm = torch.nn.LSTM(input_size=mel_dim, hidden_size=16, num_layers=2,
+                         batch_first=True).eval()
+    linear = torch.nn.Linear(16, 16).eval()
+
+    sd = {}
+    for i in range(2):
+        for name in ('weight_ih', 'weight_hh', 'bias_ih', 'bias_hh'):
+            sd[f'encoder.rnn_stack.{name}_l{i}'] = getattr(lstm,
+                                                           f'{name}_l{i}')
+    sd['encoder.proj.weight'] = linear.weight
+    sd['encoder.proj.bias'] = linear.bias
+    sd['some.other.counter'] = torch.zeros(1)
+
+    params = convert_ge2e_state_dict(sd, cfg)     # no prefixes given
+    encoder = GE2ESpeakerEncoder(cfg)
+    x = np.random.default_rng(4).standard_normal(
+        (2, 12, mel_dim)).astype(np.float32)
+    import torch as _t
+    with _t.no_grad():
+        h, _ = lstm(_t.from_numpy(x))
+        emb_t = linear(h[:, -1])
+        emb_t = emb_t / emb_t.norm(dim=1, keepdim=True)
+    emb_j = encoder.apply({'params': params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(emb_j), emb_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ge2e_import_mismatch_lists_checkpoint_keys():
+    import pytest
+    import torch
+    cfg = tiny_config(mode='SE', **{
+        'Speaker_Embedding': {
+            'Type': 'GE2E', 'Num_Speakers': 4, 'Embedding_Size': 16,
+            'GE2E': {'LSTM': {'Sizes': 16, 'Stacks': 2},
+                     'Inference': {'Samples': 2, 'Slice_Length': 12,
+                                   'Overlap_Length': 4}}}})
+    # wrong LSTM width → loud error including the actual keys/shapes
+    sd = {'m.weight_ih_l0': torch.zeros(4 * 99, cfg.sound.mel_dim),
+          'm.weight_hh_l0': torch.zeros(4 * 99, 99),
+          'm.bias_ih_l0': torch.zeros(4 * 99),
+          'm.bias_hh_l0': torch.zeros(4 * 99)}
+    with pytest.raises(KeyError) as err:
+        convert_ge2e_state_dict(sd, cfg)
+    msg = str(err.value)
+    assert 'm.weight_ih_l0' in msg and '396' in msg
+
+    # missing projection → error naming the expectation
+    sd_ok = {'m.weight_ih_l0': torch.zeros(64, cfg.sound.mel_dim),
+             'm.weight_hh_l0': torch.zeros(64, 16),
+             'm.bias_ih_l0': torch.zeros(64),
+             'm.bias_hh_l0': torch.zeros(64),
+             'm.weight_ih_l1': torch.zeros(64, 16),
+             'm.weight_hh_l1': torch.zeros(64, 16),
+             'm.bias_ih_l1': torch.zeros(64),
+             'm.bias_hh_l1': torch.zeros(64)}
+    with pytest.raises(KeyError) as err:
+        convert_ge2e_state_dict(sd_ok, cfg)
+    assert 'projection' in str(err.value)

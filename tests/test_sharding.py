@@ -72,3 +72,71 @@ def test_shard_host_local_batch_single_process():
     b = mesh_lib.shard_host_local_batch(mesh, batch)['x']
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert b.sharding.spec == a.sharding.spec
+
+
+# ---------------------------------------------------------------------------
+# multi-host building blocks (process-count faked on one machine)
+# ---------------------------------------------------------------------------
+
+def test_batch_sampler_process_shards_are_disjoint_and_cover():
+    from glow_tts_tpu.data.loader import BatchSampler
+
+    class FakeDataset(list):
+        pass
+
+    dataset = FakeDataset(range(37))
+    shards = []
+    for rank in range(4):
+        sampler = BatchSampler(dataset, batch_size=2, shuffle=True, seed=5,
+                               drop_last=False, shard_index=rank,
+                               num_shards=4)
+        indices = [int(i) for batch in sampler for i in batch]
+        shards.append(set(indices))
+        assert len(indices) == len(shards[-1])          # no dup within shard
+    union = set().union(*shards)
+    assert union == set(range(37))                      # full coverage
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (shards[a] & shards[b])          # pairwise disjoint
+
+
+def test_replicate_host_local_batch_roundtrip():
+    cfg = tiny_config()
+    mesh = mesh_lib.make_mesh(cfg)
+    batch = {'x': np.arange(24, dtype=np.float32).reshape(4, 6)}
+    out = mesh_lib.replicate_host_local_batch(mesh, batch)
+    assert out['x'].sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(out['x']), batch['x'])
+    np.testing.assert_array_equal(
+        mesh_lib.local_batch_view(out['x']), batch['x'])
+
+
+def test_local_batch_view_on_sharded_array():
+    cfg = tiny_config()
+    mesh = mesh_lib.make_mesh(cfg)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharded = mesh_lib.shard_batch(mesh, {'x': x})['x']
+    np.testing.assert_array_equal(mesh_lib.local_batch_view(sharded), x)
+
+
+def test_attention_diagonality_device_matches_numpy():
+    from glow_tts_tpu.training.trainer import (attention_diagonality,
+                                               attention_diagonality_device)
+    rng = np.random.default_rng(0)
+    b, t_tok, t_mel = 5, 11, 30
+    tl = rng.integers(2, t_tok + 1, b).astype(np.int32)
+    ml = np.array([rng.integers(t, t_mel + 1) for t in tl], np.int32)
+    # synthesize monotonic one-hot paths like MAS produces
+    attn = np.zeros((b, t_tok, t_mel), np.float32)
+    for i in range(b):
+        idx = np.sort(rng.integers(0, tl[i], ml[i]))
+        attn[i, idx, np.arange(ml[i])] = 1.0
+    expected = attention_diagonality(attn, tl, ml)
+    got = float(np.asarray(attention_diagonality_device(
+        jnp.asarray(attn), jnp.asarray(tl), jnp.asarray(ml))))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_initialize_distributed_noop_without_env(monkeypatch):
+    monkeypatch.delenv('GLOWTTS_MULTIHOST', raising=False)
+    assert mesh_lib.initialize_distributed() is False
