@@ -43,21 +43,27 @@ def token_durations():
 
 
 def token_templates(rng):
-    """Per-token mel trajectory [dur, 80]: a smooth spectral bump whose
-    centre and motion depend on the token id."""
+    """Per-token mel trajectory [dur, 80] with energy across the whole
+    spectrum (like real speech) — a narrow bump on a flat −4 background is
+    pathological for a flow: ~70 near-constant dimensions let the MLE drop
+    by whitening alone, drowning the alignment signal."""
     durs = token_durations()
-    bins = np.arange(MEL_DIM)
+    bins = np.arange(MEL_DIM) / MEL_DIM                 # [0, 1)
     templates = []
     for t in range(VOCAB):
-        centre = 8 + (t * 61) % 64                      # spread over bins
-        drift = ((t % 5) - 2) * 1.5                     # formant motion
-        width = 4.0 + (t % 3) * 2.0
-        amp = 5.5 + (t % 4) * 0.4
+        # token-specific broadband spectrum: a few smooth harmonics with
+        # token-dependent phases, plus a formant-like bump that drifts
+        base = (1.2 * np.sin(2 * np.pi * (2 * bins + t / 7.0))
+                + 0.9 * np.sin(2 * np.pi * (5 * bins + t / 3.0))
+                + 0.6 * np.sin(2 * np.pi * (9 * bins + t / 11.0)))
+        centre = (0.1 + ((t * 61) % 64) / 80.0)
         frames = []
         for f in range(durs[t]):
-            c = centre + drift * f / max(durs[t] - 1, 1)
-            frames.append(amp * np.exp(-0.5 * ((bins - c) / width) ** 2))
-        tpl = np.stack(frames) - 4.0                    # background −4
+            drift = ((t % 5) - 2) * 0.02 * f
+            bump = 2.2 * np.exp(-0.5 * ((bins - centre - drift) / 0.06) ** 2)
+            tilt = 0.4 * np.sin(2 * np.pi * (3 * bins + f / 5.0))
+            frames.append(base + bump + tilt)
+        tpl = np.stack(frames)
         templates.append(np.clip(tpl, -4.0, 4.0))
     return templates
 
@@ -145,6 +151,14 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
             idx = jax.random.randint(k, (batch_size,), 0, n)
             batch = {name: jnp.take(v, idx, axis=0)
                      for name, v in data_dev.items()}
+            # fresh dequantisation noise per step: an exact-likelihood flow
+            # on 64 *identical-every-epoch* patterns can drive the density
+            # to infinity on memorised values; light noise keeps the MLE
+            # honest without touching the alignment structure
+            batch['mels'] = jnp.clip(
+                batch['mels'] + 0.05 * jax.random.normal(
+                    jax.random.fold_in(k, 9999), batch['mels'].shape),
+                -4.0, 4.0)
             new_st, metrics = train_fn(carry, batch)
             return new_st, metrics['total']
         return jax.lax.scan(body, st, jnp.arange(eval_every))

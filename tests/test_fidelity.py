@@ -260,3 +260,90 @@ def test_actnorm_data_dependent_init_parity(torch_ref):
         rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(j_logdet), t_logdet.numpy(), rtol=1e-5, atol=1e-4)
+
+
+def test_training_gradient_parity(models):
+    """Backward-pass parity: d(total loss)/d(params) matches the live torch
+    reference with imported weights.  Forward parity (above) can't catch
+    stop-gradient/detach placement bugs — this does.  Covers the embedding,
+    encoder projection, prenet conv, duration predictor, and flow-0
+    ActNorm/invconv/coupling-end leaves (weight-normed convs are
+    reparametrised differently in torch, so their raw v/g grads are not
+    comparable leaf-for-leaf)."""
+    import math
+    import torch
+    tmodel, jmodel, params, cfg = models
+    tokens, token_lengths, mels, mel_lengths = _inputs(seed=4)
+
+    tmodel.zero_grad(set_to_none=True)
+    t_out = tmodel(
+        tokens=torch.from_numpy(tokens),
+        token_lengths=torch.from_numpy(token_lengths),
+        mels=torch.from_numpy(mels).transpose(2, 1),
+        mel_lengths=torch.from_numpy(mel_lengths),
+        speakers=None, mels_for_ge2e=None, pitches=None)
+    (t_z, t_mean, t_std, t_logdets, t_logdur, t_dur_targets, _, _) = t_out
+    t_mle = (torch.sum(t_std)
+             + 0.5 * torch.sum(torch.exp(-2 * t_std) * (t_z - t_mean) ** 2)
+             - torch.sum(t_logdets))
+    t_mle = t_mle / (torch.sum(torch.from_numpy(mel_lengths) // 2) * 2 * 80)
+    t_mle = t_mle + 0.5 * math.log(2 * math.pi)
+    t_total = t_mle + torch.nn.MSELoss()(t_logdur, t_dur_targets)
+    t_total.backward()
+    t_grads = {name: p.grad for name, p in tmodel.named_parameters()}
+
+    from glow_tts_tpu.training import losses
+
+    def loss_fn(p):
+        out = jmodel.apply(
+            {'params': p},
+            tokens=jnp.asarray(tokens, jnp.int32),
+            token_lengths=jnp.asarray(token_lengths, jnp.int32),
+            mels=jnp.asarray(mels),
+            mel_lengths=jnp.asarray(mel_lengths, jnp.int32),
+            deterministic=True)
+        mle = losses.mle_loss(
+            out['z'], out['mel_mean'], out['mel_log_std'], out['log_dets'],
+            jnp.asarray(mel_lengths, jnp.int32),
+            cfg.decoder.num_squeeze, cfg.sound.mel_dim)
+        return mle + losses.duration_loss(out['log_durations'],
+                                          out['log_duration_targets'])
+
+    j_grads = jax.grad(loss_fn)(params)
+
+    enc = 'layer_Dict.Encoder.layer_Dict'
+    flow0 = 'layer_Dict.Decoder.layer_Dict.Flows.0'
+
+    def close(j, t, tag):
+        # Tolerance note: under the suite's 8-virtual-device CPU platform
+        # XLA's accumulation order shifts, and the 12-step flow backward
+        # amplifies f32 reorder noise to ~1e-3 relative (measured: 9e-7 on
+        # a 1-device CPU, 7.5e-4 with --xla_force_host_platform_device_count=8,
+        # same graph).  A structural bug (mis-placed stop_gradient, wrong
+        # path) produces O(1) relative error — still far outside this band.
+        j, t = np.asarray(j), np.asarray(t)
+        scale = max(np.abs(t).max(), 1e-8)
+        np.testing.assert_allclose(
+            j, t, rtol=5e-3, atol=2e-3 * scale, err_msg=tag)
+
+    close(j_grads['encoder']['embedding']['embedding'],
+          t_grads[f'{enc}.Embedding.weight'], 'embedding')
+    close(j_grads['encoder']['project']['dense']['kernel'],
+          t_grads[f'{enc}.Project.weight'].squeeze(-1).T, 'encoder proj')
+    close(j_grads['encoder']['project']['dense']['bias'],
+          t_grads[f'{enc}.Project.bias'], 'encoder proj bias')
+    close(j_grads['encoder']['prenet']['conv_0']['conv']['kernel'],
+          t_grads[f'{enc}.Prenet.layer_Dict.CLRD_0.layer_Dict.Conv.weight'
+                  ].permute(2, 1, 0), 'prenet conv0')
+    close(j_grads['encoder']['duration_predictor']['proj']['dense']['kernel'],
+          t_grads[f'{enc}.Duration_Predictor.layer_Dict.Projection.weight'
+                  ].squeeze(-1).T, 'duration proj')
+    close(j_grads['decoder']['flow_0']['actnorm']['logs'],
+          t_grads[f'{flow0}.layers.0.logs'].reshape(-1), 'actnorm logs')
+    close(j_grads['decoder']['flow_0']['actnorm']['bias'],
+          t_grads[f'{flow0}.layers.0.bias'].reshape(-1), 'actnorm bias')
+    close(j_grads['decoder']['flow_0']['invconv']['weight'],
+          t_grads[f'{flow0}.layers.1.weight'], 'invconv')
+    close(j_grads['decoder']['flow_0']['coupling']['end']['dense']['kernel'],
+          t_grads[f'{flow0}.layers.2.layer_Dict.End.weight'
+                  ].squeeze(-1).T, 'coupling end')
