@@ -102,7 +102,8 @@ def pad_corpus(patterns, num_squeeze):
             'mels': mels, 'mel_lengths': mel_lengths}, true_durations
 
 
-def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
+def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
+        state_file=None):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -129,6 +130,16 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
     init_batch = {k: v[:batch_size] for k, v in data.items()}
     model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                       init_batch)
+    start_step = 0
+    if state_file and os.path.exists(state_file):
+        import pickle
+        with open(state_file, 'rb') as f:
+            saved = pickle.load(f)
+        state = jax.tree_util.tree_map(jnp.asarray, saved['state'])
+        start_step = saved['step']
+        if verbose:
+            print(f'# resumed from {state_file} at step {start_step}',
+                  flush=True)
     train_fn = make_train_step(cfg, model)
     eval_step = jax.jit(make_eval_step(cfg, model))
     infer_step = jax.jit(make_inference_step(cfg, model,
@@ -193,9 +204,9 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
             print(json.dumps(entry), flush=True)
         return entry
 
-    evaluate(0, state)
+    evaluate(start_step, state)
     t0 = time.perf_counter()
-    step = 0
+    step = start_step
     while step < steps:
         state, chunk_losses = train_chunk(state, jax.random.fold_in(
             jax.random.PRNGKey(seed + 1), step))
@@ -208,6 +219,14 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
                   f'{float(np.asarray(chunk_losses)[-1]):.4f}', flush=True)
         evaluate(step, state)
     train_wall = time.perf_counter() - t0
+    if state_file:
+        import pickle
+        with open(state_file, 'wb') as f:
+            pickle.dump({'state': jax.tree_util.tree_map(np.asarray, state),
+                         'step': step}, f)
+        if verbose:
+            print(f'# saved state at step {step} to {state_file}',
+                  flush=True)
 
     # free-running inference: predicted lengths vs ground truth
     length_ratios = []
@@ -225,9 +244,10 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
 
     final = history[-1]
     results = {
-        'steps': steps,
+        'steps': step,
         'train_wall_sec': round(train_wall, 1),
-        'ms_per_step_wall': round(train_wall / steps * 1000, 2),
+        'ms_per_step_wall': round(
+            train_wall / max(step - start_step, 1) * 1000, 2),
         'final_diagonality': final['diagonality'],
         'final_mas_duration_abs_err': final['mas_duration_abs_err'],
         'final_duration_mse': final['duration_mse'],
@@ -241,10 +261,14 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument('--steps', type=int, default=4000)
+    parser.add_argument('--steps', type=int, default=4000,
+                        help='total steps (cumulative when resuming)')
     parser.add_argument('--eval-every', type=int, default=500)
+    parser.add_argument('--state-file', default=None,
+                        help='pickle for save/resume across invocations')
     args = parser.parse_args()
-    results = run(steps=args.steps, eval_every=args.eval_every)
+    results = run(steps=args.steps, eval_every=args.eval_every,
+                  state_file=args.state_file)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             'convergence_results.json')
     with open(out_path, 'w') as f:

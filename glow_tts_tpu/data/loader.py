@@ -82,7 +82,8 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 0,
                  prefetch: int = 2, drop_last: bool = True,
                  device_put: Optional[Callable] = None,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 workers: int = 1):
         self.dataset = dataset
         self.collater = collater
         self.sampler = BatchSampler(dataset, batch_size, shuffle,
@@ -91,39 +92,56 @@ class DataLoader:
                                     num_shards=num_shards)
         self.prefetch = prefetch
         self.device_put = device_put
+        # Parallel producer threads (reference: DataLoader worker
+        # processes, ``Train.py:100-123``).  Threads, not processes: the
+        # work is pickle IO + numpy padding, which releases the GIL, and
+        # the batches land in the same process for device_put.
+        self.workers = max(int(workers), 1)
 
     def __len__(self) -> int:
         return len(self.sampler)
 
-    def _produce(self, q: queue.Queue):
+    def _make_batch(self, indices):
+        batch = self.collater([self.dataset[int(i)] for i in indices])
+        if self.device_put is not None:
+            batch = self.device_put(batch)
+        return batch
+
+    def _produce(self, q: queue.Queue, iterator, lock):
         try:
-            for indices in self.sampler:
-                batch = self.collater([self.dataset[int(i)]
-                                       for i in indices])
-                if self.device_put is not None:
-                    batch = self.device_put(batch)
-                q.put(batch)
+            while True:
+                with lock:
+                    indices = next(iterator, None)
+                if indices is None:
+                    break
+                q.put(self._make_batch(indices))
         except Exception as error:            # surface in the consumer
             q.put(error)
         finally:
-            q.put(None)
+            q.put(None)                        # one sentinel per worker
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:
             for indices in self.sampler:
-                batch = self.collater([self.dataset[int(i)]
-                                       for i in indices])
-                yield (self.device_put(batch) if self.device_put else batch)
+                yield self._make_batch(indices)
             return
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        thread = threading.Thread(target=self._produce, args=(q,),
-                                  daemon=True)
-        thread.start()
-        while True:
+        q: queue.Queue = queue.Queue(maxsize=max(self.prefetch,
+                                                 self.workers))
+        iterator = iter(self.sampler)
+        lock = threading.Lock()
+        threads = [threading.Thread(target=self._produce,
+                                    args=(q, iterator, lock), daemon=True)
+                   for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        finished = 0
+        while finished < len(threads):
             item = q.get()
             if item is None:
-                break
+                finished += 1
+                continue
             if isinstance(item, Exception):
                 raise item
             yield item
-        thread.join()
+        for t in threads:
+            t.join()

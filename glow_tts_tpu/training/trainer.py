@@ -233,18 +233,20 @@ class Trainer:
         return batch
 
     def _train_loader(self, seed: int):
-        # Num_Workers (reference: DataLoader worker processes) maps to the
-        # prefetch queue depth of the background producer thread here.
-        # Each pod process loads a disjoint shard of every epoch
-        # (deterministic seeded permutation, strided by process index).
+        # Num_Workers (reference: DataLoader worker processes) maps to
+        # parallel producer threads feeding the prefetch queue.  Each pod
+        # process loads a disjoint shard of every epoch (deterministic
+        # seeded permutation, strided by process index).
+        workers = max(self.config.train.num_workers, 1)
         return DataLoader(self.train_dataset,
                           TrainCollater(self.config, self.tokenizer),
                           self.local_batch_size,
                           shuffle=True, seed=seed,
-                          prefetch=max(self.config.train.num_workers, 1),
+                          prefetch=2 * workers,
                           device_put=self._device_put,
                           shard_index=self.process_index,
-                          num_shards=self.num_processes)
+                          num_shards=self.num_processes,
+                          workers=workers)
 
     # ------------------------------------------------------------------
 

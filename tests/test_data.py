@@ -142,3 +142,35 @@ def test_reference_compat_keys_map_to_tpu_section():
                                'compute_dtype': 'bfloat16'}})
     assert cfg.tpu.mas_backend == 'pallas'
     assert cfg.tpu.compute_dtype == 'bfloat16'
+
+
+def test_loader_multi_worker_produces_all_batches():
+    """Parallel producer threads must yield every batch exactly once and
+    still surface producer exceptions (order may interleave)."""
+    from glow_tts_tpu.data.loader import DataLoader
+
+    class SeqDataset(list):
+        pass
+
+    dataset = SeqDataset(range(40))
+
+    def collater(items):
+        return {'ids': np.asarray(sorted(items))}
+
+    loader = DataLoader(dataset, collater, batch_size=4, shuffle=True,
+                        seed=3, prefetch=4, workers=3, drop_last=False)
+    seen = []
+    for batch in loader:
+        seen.extend(batch['ids'].tolist())
+    assert sorted(seen) == list(range(40))
+
+    def bad_collater(items):
+        raise RuntimeError('collate failed in worker')
+
+    loader = DataLoader(dataset, bad_collater, batch_size=4, shuffle=False,
+                        prefetch=4, workers=3)
+    try:
+        list(iter(loader))
+        assert False, 'expected the worker exception to surface'
+    except RuntimeError as e:
+        assert 'collate failed' in str(e)
