@@ -68,7 +68,15 @@ def token_templates(rng):
     return templates
 
 
-def make_corpus(rng, n=64):
+def make_corpus(rng, n=512):
+    """512 patterns (not 64): with a tiny corpus and light noise an
+    exact-likelihood flow simply memorises the training values — MLE
+    reaches ≈ −1.8 with the alignment still uniform, because density
+    concentration around memorised points beats any gain from a better
+    prior.  More patterns + strong dequantisation noise (σ=0.25, re-drawn
+    every step in the train loop) close that shortcut: the only way left
+    to raise the likelihood is a prior that actually predicts the
+    token-conditional spectra, which is exactly the alignment signal."""
     durs = token_durations()
     templates = token_templates(rng)
     patterns = []
@@ -76,7 +84,7 @@ def make_corpus(rng, n=64):
         length = int(rng.integers(12, 36))
         tokens = rng.integers(2, 2 + VOCAB - 1, length).astype(np.int32)
         mel = np.concatenate([templates[t - 2] for t in tokens], axis=0)
-        mel = mel + rng.normal(0.0, 0.05, mel.shape)    # light noise
+        mel = mel + rng.normal(0.0, 0.05, mel.shape)    # light corpus noise
         mel = np.clip(mel, -4.0, 4.0).astype(np.float32)
         patterns.append({'tokens': tokens, 'mel': mel,
                          'true_durations': durs[tokens - 2]})
@@ -131,12 +139,14 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                       init_batch)
     start_step = 0
+    history = []
     if state_file and os.path.exists(state_file):
         import pickle
         with open(state_file, 'rb') as f:
             saved = pickle.load(f)
         state = jax.tree_util.tree_map(jnp.asarray, saved['state'])
         start_step = saved['step']
+        history.extend(saved.get('history', []))
         if verbose:
             print(f'# resumed from {state_file} at step {start_step}',
                   flush=True)
@@ -163,18 +173,17 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
             batch = {name: jnp.take(v, idx, axis=0)
                      for name, v in data_dev.items()}
             # fresh dequantisation noise per step: an exact-likelihood flow
-            # on 64 *identical-every-epoch* patterns can drive the density
-            # to infinity on memorised values; light noise keeps the MLE
-            # honest without touching the alignment structure
+            # on identical-every-epoch patterns drives the density to a
+            # memorisation optimum that ignores alignment; σ=0.25 noise
+            # bounds the achievable density so the prior (and hence the
+            # alignment) is the only remaining likelihood lever
             batch['mels'] = jnp.clip(
-                batch['mels'] + 0.05 * jax.random.normal(
+                batch['mels'] + 0.25 * jax.random.normal(
                     jax.random.fold_in(k, 9999), batch['mels'].shape),
                 -4.0, 4.0)
             new_st, metrics = train_fn(carry, batch)
             return new_st, metrics['total']
         return jax.lax.scan(body, st, jnp.arange(eval_every))
-
-    history = []
 
     def evaluate(step, st):
         diags, dur_losses, mle_losses, dur_errs = [], [], [], []
@@ -202,6 +211,15 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         history.append(entry)
         if verbose:
             print(json.dumps(entry), flush=True)
+        if state_file:
+            # checkpoint at every eval so an interrupted run resumes from
+            # the last eval instead of losing the whole chunk
+            import pickle
+            tmp = state_file + '.tmp'
+            with open(tmp, 'wb') as f:
+                pickle.dump({'state': jax.tree_util.tree_map(np.asarray, st),
+                             'step': step, 'history': history}, f)
+            os.replace(tmp, state_file)
         return entry
 
     evaluate(start_step, state)
@@ -223,7 +241,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         import pickle
         with open(state_file, 'wb') as f:
             pickle.dump({'state': jax.tree_util.tree_map(np.asarray, state),
-                         'step': step}, f)
+                         'step': step, 'history': history}, f)
         if verbose:
             print(f'# saved state at step {step} to {state_file}',
                   flush=True)

@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _load_xspace(trace_dir):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:   # proto location varies by image
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = sorted(glob.glob(
         os.path.join(trace_dir, 'plugins', 'profile', '*', '*.xplane.pb')))
     if not paths:

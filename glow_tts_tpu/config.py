@@ -245,6 +245,12 @@ class TPUConfig:
     mel_bucket: int = 128
     # 'pallas' | 'scan' | 'cpp' | 'numpy' — monotonic alignment search backend.
     mas_backend: str = 'pallas'
+    # Affine-coupling backend for the deterministic (no-dropout) path:
+    # 'auto' → the fused Pallas kernel (ops/coupling.py) on TPU, flax
+    # elsewhere; 'fused' / 'flax' force a side; 'fused_interpret' runs the
+    # kernel in the Pallas interpreter (CPU parity tests).  Training's
+    # dropout path always uses flax.
+    coupling_backend: str = 'auto'
     # XLA matmul precision: 'default' (fast, bf16-input MXU passes; mel MAE
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the
     # MXU; bit-level parity, slower).  Training uses 'default'.

@@ -152,16 +152,65 @@ class InvertibleConv(nn.Module):
 
 
 class WaveNet(nn.Module):
-    """Non-dilated gated conv stack with additive global conditioning."""
+    """Non-dilated gated conv stack with additive global conditioning.
+
+    ``return_params=True`` declares the identical parameter tree but
+    returns the effective (weight-normed) kernels stacked per layer for
+    the fused Pallas coupling (``ops/coupling.py``) instead of applying.
+    """
     config: Config
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, return_params: bool = False):
         cfg = self.config.decoder.affine_coupling
         ch = cfg.calc_channels
         n = cfg.wavenet.num_layers
+        if return_params:
+            dummy = jnp.zeros((1, 1, ch), x.dtype)
+            packs = {key: [] for key in
+                     ('w_in', 'b_in', 'w_rs', 'b_rs', 'w_spk', 'b_spk',
+                      'w_pro', 'b_pro', 'w_pitch', 'b_pitch')}
+            for i in range(n):
+                kin, bin_ = WNConv1d(2 * ch, cfg.wavenet.kernel_size,
+                                     dtype=self.dtype, name=f'in_{i}')(
+                    dummy, return_params=True)
+                packs['w_in'].append(kin)
+                packs['b_in'].append(bin_)
+                if speaker is not None:
+                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                      name=f'speaker_{i}')(
+                        speaker[:, None, :], return_params=True)
+                    packs['w_spk'].append(kk[0])
+                    packs['b_spk'].append(bb)
+                if prosody is not None:
+                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                      name=f'prosody_{i}')(
+                        prosody[:, None, :], return_params=True)
+                    packs['w_pro'].append(kk[0])
+                    packs['b_pro'].append(bb)
+                if pitch is not None:
+                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                                      name=f'pitch_{i}')(
+                        pitch, return_params=True)
+                    packs['w_pitch'].append(kk[0])
+                    packs['b_pitch'].append(bb)
+                last = i == n - 1
+                krs, brs = WNConv1d(ch if last else 2 * ch, 1,
+                                    dtype=self.dtype,
+                                    name=f'res_skip_{i}')(
+                    dummy, return_params=True)
+                if last:
+                    # uniform [ch, 2ch] layout: the last layer feeds only
+                    # the skip half; its dead res half is zero
+                    krs = jnp.concatenate(
+                        [jnp.zeros_like(krs), krs], axis=-1)
+                    brs = jnp.concatenate([jnp.zeros_like(brs), brs])
+                packs['w_rs'].append(krs[0])
+                packs['b_rs'].append(brs)
+            return {key: (jnp.stack(vals) if vals else None)
+                    for key, vals in packs.items()}
         output = jnp.zeros_like(x)
         for i in range(n):
             ins = WNConv1d(2 * ch, cfg.wavenet.kernel_size,
@@ -202,12 +251,30 @@ class AffineCoupling(nn.Module):
         c = x.shape[-1]
         x_a, x_b = x[..., :c // 2], x[..., c // 2:]
 
-        h = WNConv1d(cfg.calc_channels, 1, dtype=self.dtype,
-                     name='start')(x_a) * mask
-        h = WaveNet(self.config, self.dtype, name='wavenet')(
-            h, mask, speaker, prosody, pitch, deterministic)
-        outs = Conv1d(c, 1, kernel_init=nn.initializers.zeros,
-                      dtype=self.dtype, name='end')(h)
+        start_mod = WNConv1d(cfg.calc_channels, 1, dtype=self.dtype,
+                             name='start')
+        wavenet = WaveNet(self.config, self.dtype, name='wavenet')
+        end_mod = Conv1d(c, 1, kernel_init=nn.initializers.zeros,
+                         dtype=self.dtype, name='end')
+
+        backend = self.config.tpu.coupling_backend
+        # hardware fused path is bf16-only: Mosaic's default f32 dot is a
+        # single bf16 MXU pass, which would silently degrade the f32
+        # selective-precision inference policy (see ops/coupling.py)
+        dt = self.dtype or x.dtype
+        fused = deterministic and (
+            backend == 'fused_interpret'
+            or (backend in ('auto', 'fused')
+                and jax.default_backend() == 'tpu'
+                and dt == jnp.bfloat16))
+        if fused:
+            return self._fused(x_a, x_b, mask, start_mod, wavenet, end_mod,
+                               speaker, prosody, pitch, reverse,
+                               interpret=backend == 'fused_interpret')
+
+        h = start_mod(x_a) * mask
+        h = wavenet(h, mask, speaker, prosody, pitch, deterministic)
+        outs = end_mod(h)
         mean, logs = outs[..., :c // 2], outs[..., c // 2:]
 
         if reverse:
@@ -218,6 +285,52 @@ class AffineCoupling(nn.Module):
             logdet = (logs.astype(jnp.float32)
                       * mask.astype(jnp.float32)).sum(axis=(1, 2))
         return jnp.concatenate([x_a, x_b], axis=-1), logdet
+
+    def _fused(self, x_a, x_b, mask, start_mod, wavenet, end_mod,
+               speaker, prosody, pitch, reverse, interpret):
+        """Deterministic path through the fused Pallas coupling kernel
+        (``ops/coupling.py``) — same parameters, same math, one
+        VMEM-resident pass instead of per-layer HBM round trips."""
+        from glow_tts_tpu.ops.coupling import fused_coupling
+
+        ch = self.config.decoder.affine_coupling.calc_channels
+        b = x_a.shape[0]
+        w_start, b_start = start_mod(x_a, return_params=True)
+        wn = wavenet(x_a, mask, speaker, prosody, pitch,
+                     return_params=True)
+        w_end, b_end = end_mod(jnp.zeros((1, 1, ch), x_a.dtype),
+                               return_params=True)
+
+        n, ch2 = wn['b_in'].shape
+        cond = jnp.broadcast_to(wn['b_in'][:, None, :], (n, b, ch2))
+        if speaker is not None:
+            cond = cond + (jnp.einsum('bd,nds->nbs',
+                                      speaker.astype(jnp.float32),
+                                      wn['w_spk'])
+                           + wn['b_spk'][:, None, :])
+        if prosody is not None:
+            cond = cond + (jnp.einsum('bd,nds->nbs',
+                                      prosody.astype(jnp.float32),
+                                      wn['w_pro'])
+                           + wn['b_pro'][:, None, :])
+        if pitch is not None:
+            cond = cond + wn['b_pitch'][:, None, :]
+
+        weights = {
+            'w_start': w_start[0], 'b_start': b_start,
+            'w_in': wn['w_in'], 'w_rs': wn['w_rs'], 'b_rs': wn['b_rs'],
+            'w_end': w_end, 'b_end': b_end,
+        }
+        if pitch is not None:
+            weights['w_pitch'] = wn['w_pitch']
+        # enforce the module compute dtype: upstream mask multiplies promote
+        # activations to f32, which would silently flip the kernel into the
+        # (slower, weight-streaming) f32 configuration
+        dt = self.dtype or x_a.dtype
+        z_b, logdet = fused_coupling(
+            x_a.astype(dt), x_b.astype(dt), mask, weights, cond,
+            pitch=pitch, reverse=reverse, interpret=interpret)
+        return jnp.concatenate([x_a, z_b.astype(x_a.dtype)], axis=-1), logdet
 
 
 class FlowStep(nn.Module):

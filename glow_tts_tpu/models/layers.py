@@ -28,10 +28,31 @@ def sequence_mask(lengths: jax.Array, max_length: int,
     return mask[..., None].astype(dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares the exact parameter tree of an ``nn.Dense`` (same scope
+    name, param names, shapes and initialisers) and returns the raw values
+    instead of applying them — used by the fused-coupling path to hand
+    effective kernels to the Pallas kernel while staying checkpoint- and
+    init-compatible with the flax path."""
+    features: int
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param('kernel', self.kernel_init,
+                            (in_features, self.features))
+        bias = (self.param('bias', nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Conv1d(nn.Module):
     """1-D convolution over the time axis with explicit SAME padding.
 
-    kernel_size 1 lowers to a Dense (pure MXU matmul).
+    kernel_size 1 lowers to a Dense (pure MXU matmul).  With
+    ``return_params=True`` (1×1 only) returns the raw ``(kernel, bias)``
+    instead of applying — identical parameter tree either way.
     """
     features: int
     kernel_size: int = 1
@@ -40,7 +61,11 @@ class Conv1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
+        if return_params:
+            assert self.kernel_size == 1, 'return_params is 1×1-only'
+            return _DenseParams(self.features, self.use_bias,
+                                self.kernel_init, name='dense')(x.shape[-1])
         if self.kernel_size == 1:
             return nn.Dense(
                 self.features, use_bias=self.use_bias, dtype=self.dtype,
@@ -56,6 +81,9 @@ class WNConv1d(nn.Module):
     magnitude per output channel, direction normalised over (k, in)).
 
     Used throughout the coupling WaveNet (``Modules.py:766,818,825``).
+    With ``return_params=True`` returns the effective (weight-normed)
+    ``(kernel [k, in, out], bias)`` in fp32 instead of applying — the
+    fused-coupling path feeds these to the Pallas kernel.
     """
     features: int
     kernel_size: int = 1
@@ -64,7 +92,7 @@ class WNConv1d(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         kshape = (self.kernel_size, x.shape[-1], self.features)
         v = self.param('v', self.kernel_init, kshape)
         # g initialised to ‖v‖ so the initial effective kernel equals v
@@ -74,6 +102,10 @@ class WNConv1d(nn.Module):
         norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(
             axis=(0, 1), keepdims=True))
         kernel = (g[None, None, :] * v / jnp.maximum(norm, 1e-12))
+        if return_params:
+            bias = (self.param('b', nn.initializers.zeros, (self.features,))
+                    if self.use_bias else None)
+            return kernel.astype(jnp.float32), bias
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
             x = x.astype(self.dtype)

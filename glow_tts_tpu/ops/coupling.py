@@ -1,0 +1,298 @@
+"""Fused WaveNet affine-coupling kernel (Pallas TPU).
+
+The coupling's gated WaveNet dominates both flow directions (reference
+``Modules.py:760-887``; SURVEY §3.1).  XLA runs it as ``n_layers`` ×
+(k-tap conv → cond add → tanh·σ gate → res/skip 1×1) with every
+``[B, T, 2·192]`` intermediate round-tripping HBM, and the 192-channel
+contractions underfill the 128-lane MXU tiling.  This kernel keeps the
+whole coupling VMEM-resident::
+
+    start 1×1 → n × (conv taps + cond + gate + res/skip) → end 1×1
+    → affine transform (+ fp32 logdet)
+
+in one ``pallas_call``.  Design notes:
+
+* **Batch packed into sublanes.**  Samples are laid along the row axis
+  with ``k-1`` zero rows between them, so the k conv taps of adjacent
+  samples cannot touch.  Every tap then becomes ONE ``[P, ch] × [ch, 2ch]``
+  MXU matmul with ``P ≈ batch_tile · T`` rows — large-M, never per-sample.
+* **Per-sample conditioning via the MXU.**  The per-layer additive bias
+  (conv bias + speaker/prosody projections, shape ``[B, 2ch]``) differs per
+  sample inside a packed block; a one-hot row→sample indicator matmul
+  (``[P, Bt] × [Bt, 2ch]``) broadcasts it without per-row VPU work.
+* **Weight residency by dtype.**  bf16 weights (~7 MB) sit in VMEM for the
+  whole grid; f32 weights (~14 MB) exceed VMEM and are double-buffer
+  streamed from HBM per layer, overlapping layer ``i+1``'s DMA with layer
+  ``i``'s compute.
+* **Chunk-interleaved phases.**  Each layer's rows are processed in
+  chunks with all im2col builds (VPU) and conv matmuls (MXU) issued
+  per-chunk before the gate/res-skip phase, so the scheduler can overlap
+  chunk ``c+1``'s VPU build with chunk ``c``'s MXU pass.
+* fp32 accumulation everywhere (``preferred_element_type``); the affine
+  transform and log-determinant are computed in fp32 regardless of the
+  activation dtype, matching the repo-wide "fp32 for flow logdets" policy.
+* **bf16 activations only on hardware.**  Mosaic lowers f32 dots to a
+  single bf16 MXU pass by default (measured ~2.7e-1 max error on a K=512
+  matmul vs fp32), which would silently break the f32 selective-precision
+  inference policy — so the integration (``models/decoder.py``) routes
+  f32 activations to the flax path, whose XLA dots honor the
+  ``tensorfloat32`` 3-pass policy.  (The interpreter path is exact f32 —
+  CPU parity tests run there.)
+
+The kernel reproduces the deterministic (no-dropout) path of the reference
+coupling bit-for-bit in f32; training keeps the flax path (dropout RNG
+lives there).  Parity: ``tests/test_coupling_fused.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
+                 p: int, reverse: bool, has_pitch: bool, stream: bool):
+    pad = (k - 1) // 2
+
+    def kernel(*refs):
+        it = iter(refs)
+        xa, xb, m_ref, ind, cond = (next(it) for _ in range(5))
+        ws, bs, w_in, w_rs, brs, we, be = (next(it) for _ in range(7))
+        if has_pitch:
+            pit, wp = next(it), next(it)
+        zb = next(it)
+        ld = None if reverse else next(it)
+        xp, xi, out_s = next(it), next(it), next(it)
+        if stream:
+            win_buf, wrs_buf, sems = next(it), next(it), next(it)
+
+        dt = xa.dtype
+        m = m_ref[0]                                   # [P, 1] float32
+
+        def dma_in(i, slot):
+            return pltpu.make_async_copy(w_in.at[i], win_buf.at[slot],
+                                         sems.at[0, slot])
+
+        def dma_rs(i, slot):
+            return pltpu.make_async_copy(w_rs.at[i], wrs_buf.at[slot],
+                                         sems.at[1, slot])
+
+        if stream:
+            dma_in(0, 0).start()
+            dma_rs(0, 0).start()
+
+        # start 1×1: h = (x_a @ W_start + b_start) * mask
+        h = jnp.dot(xa[0], ws[...], preferred_element_type=jnp.float32)
+        h = (h + bs[0][None, :]) * m
+
+        xp[...] = jnp.zeros((p + 2 * pad, ch), dt)
+        xp[pad:pad + p] = h.astype(dt)
+
+        nc = 2
+        base = (p // nc) // 8 * 8
+        chunks = [(ci * base, base) for ci in range(nc - 1)]
+        chunks.append(((nc - 1) * base, p - (nc - 1) * base))
+
+        out_s[...] = jnp.zeros((p, ch), jnp.float32)
+        for i in range(n):
+            if stream:
+                if i + 1 < n:
+                    dma_in(i + 1, (i + 1) % 2).start()
+                    dma_rs(i + 1, (i + 1) % 2).start()
+                dma_in(i, i % 2).wait()
+                dma_rs(i, i % 2).wait()
+            w_i = win_buf[i % 2] if stream else w_in[i]
+            w_r = wrs_buf[i % 2] if stream else w_rs[i]
+
+            # phase 1: per-chunk im2col builds interleaved with the conv
+            # matmuls so the VPU build of chunk c+1 overlaps the MXU pass
+            # of chunk c
+            accs = []
+            for (o, L) in chunks:
+                for d in range(k):
+                    xi[o:o + L, d * ch:(d + 1) * ch] = xp[o + d:o + d + L]
+                accs.append(jnp.dot(xi[o:o + L], w_i,
+                                    preferred_element_type=jnp.float32))
+            # phase 2: gates (VPU) interleaved with res/skip matmuls (MXU)
+            rss = []
+            for ci, (o, L) in enumerate(chunks):
+                acc = accs[ci] + jnp.dot(ind[o:o + L], cond[0, i],
+                                         preferred_element_type=jnp.float32)
+                if has_pitch:
+                    acc += jnp.dot(pit[0][o:o + L], wp[i],
+                                   preferred_element_type=jnp.float32)
+                g = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
+                rss.append(jnp.dot(g.astype(dt), w_r,
+                                   preferred_element_type=jnp.float32))
+            # phase 3: residual / skip updates (reads of xp all happened in
+            # phase 1, so in-place updates are hazard-free)
+            for ci, (o, L) in enumerate(chunks):
+                rs = rss[ci] + brs[i][None, :]
+                if i < n - 1:
+                    xp[pad + o:pad + o + L] = (
+                        (xp[pad + o:pad + o + L].astype(jnp.float32)
+                         + rs[:, :ch]) * m[o:o + L]).astype(dt)
+                out_s[o:o + L] = out_s[o:o + L] + rs[:, ch:]
+
+        out = out_s[...] * m
+        outs = jnp.dot(out.astype(dt), we[...],
+                       preferred_element_type=jnp.float32) + be[0][None, :]
+        mean, logs = outs[:, :c2], outs[:, c2:]
+        xbv = xb[0].astype(jnp.float32)
+        if reverse:
+            z = (xbv - mean) * jnp.exp(-logs) * m
+        else:
+            z = (mean + jnp.exp(logs) * xbv) * m
+            lm = logs * m
+            # the logdet block is the whole [nb, bt] array (constant index
+            # map — Mosaic requires full trailing dims for tiny blocks);
+            # each program writes its own row
+            gi = pl.program_id(0)
+            for bi in range(bt):
+                ld[gi, bi] = jnp.sum(lm[bi * r:bi * r + t])
+        zb[0] = z.astype(dt)
+
+    return kernel
+
+
+def _pack(a: jax.Array, bt: int, r: int) -> jax.Array:
+    """[B, T, C] → [B/bt, bt·r, C]: pad each sample's time axis to ``r``
+    (zero gap = the conv halo between packed samples) and fold batch into
+    the row axis."""
+    b, t, c = a.shape
+    ap = jnp.pad(a, ((0, 0), (0, r - t), (0, 0)))
+    return ap.reshape(b // bt, bt * r, c)
+
+
+def fused_coupling(
+    x_a: jax.Array,
+    x_b: jax.Array,
+    mask: jax.Array,
+    weights: Dict[str, jax.Array],
+    cond_bias: jax.Array,
+    pitch: Optional[jax.Array] = None,
+    *,
+    reverse: bool = False,
+    batch_tile: int = 4,
+    stream_weights: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """One fused affine-coupling pass.
+
+    Args:
+      x_a, x_b: coupling halves ``[B, T, c/2]`` (the WaveNet reads ``x_a``).
+      mask: ``[B, T, 1]`` float.
+      weights: effective (weight-normed) kernels —
+        ``w_start [c/2, ch]``, ``b_start [ch]``,
+        ``w_in [n, k, ch, 2ch]``, ``w_rs [n, ch, 2ch]``, ``b_rs [n, 2ch]``
+        (last layer's res half zero-padded),
+        ``w_end [ch, c]``, ``b_end [c]``,
+        optional ``w_pitch [n, ps, 2ch]``.
+      cond_bias: ``[n, B, 2ch]`` per-layer additive bias — the in-conv bias
+        plus any global speaker/prosody projections (their biases folded in).
+      pitch: optional time-varying conditioning ``[B, T, ps]`` (GR mode).
+      reverse: inverse-flow direction (inference).
+
+    Returns ``(z_b [B, T, c/2], logdet [B] float32 | None)``.
+    """
+    b, t, c2 = x_a.shape
+    dt = x_a.dtype
+    n, k, ch, ch2 = weights['w_in'].shape
+    if stream_weights is None:
+        stream_weights = dt == jnp.float32
+    bt = batch_tile
+    pad_t = (k - 1) // 2
+    r = t + 2 * pad_t
+    p = bt * r
+
+    # pad batch to a multiple of the tile (mask zero → logdet zero)
+    b_pad = (-b) % bt
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        x_a, x_b, mask = (jnp.pad(a, pad3) for a in (x_a, x_b, mask))
+        cond_bias = jnp.pad(cond_bias, ((0, 0), (0, b_pad), (0, 0)))
+        if pitch is not None:
+            pitch = jnp.pad(pitch, pad3)
+    bp = b + b_pad
+    nb = bp // bt
+
+    xa_p = _pack(x_a, bt, r)
+    xb_p = _pack(x_b, bt, r)
+    m_p = _pack(mask.astype(jnp.float32), bt, r)
+    # [n, B, 2ch] → [nb, n, bt, 2ch], grouping consecutive samples
+    cond_p = (cond_bias.transpose(1, 0, 2)
+              .reshape(nb, bt, n, ch2).transpose(0, 2, 1, 3).astype(dt))
+    ind = jnp.repeat(jnp.eye(bt, dtype=dt), r, axis=0)           # [P, bt]
+
+    has_pitch = pitch is not None
+    w_space = pl.ANY if stream_weights else pltpu.VMEM
+    vm = pltpu.VMEM
+
+    def vspec(block, index_map=None):
+        return pl.BlockSpec(block, index_map, memory_space=vm)
+
+    whole = pl.BlockSpec(memory_space=vm)
+    in_specs = [
+        vspec((1, p, c2), lambda i: (i, 0, 0)),                  # x_a
+        vspec((1, p, c2), lambda i: (i, 0, 0)),                  # x_b
+        vspec((1, p, 1), lambda i: (i, 0, 0)),                   # mask
+        whole,                                                   # indicator
+        vspec((1, n, bt, ch2), lambda i: (i, 0, 0, 0)),          # cond
+        whole, whole,                                            # w/b start
+        pl.BlockSpec(memory_space=w_space),                      # w_in
+        pl.BlockSpec(memory_space=w_space),                      # w_rs
+        whole, whole, whole,                                     # b_rs, w/b end
+    ]
+    operands = [
+        xa_p, xb_p, m_p, ind, cond_p,
+        weights['w_start'].astype(dt),
+        weights['b_start'].astype(jnp.float32).reshape(1, -1),
+        weights['w_in'].astype(dt).reshape(n, k * ch, ch2),   # im2col layout
+        weights['w_rs'].astype(dt),
+        weights['b_rs'].astype(jnp.float32),
+        weights['w_end'].astype(dt),
+        weights['b_end'].astype(jnp.float32).reshape(1, -1),
+    ]
+    if has_pitch:
+        ps = pitch.shape[-1]
+        in_specs += [vspec((1, p, ps), lambda i: (i, 0, 0)), whole]
+        operands += [_pack(pitch.astype(dt), bt, r),
+                     weights['w_pitch'].astype(dt)]
+
+    out_shape = [jax.ShapeDtypeStruct((nb, p, c2), dt)]
+    out_specs = [vspec((1, p, c2), lambda i: (i, 0, 0))]
+    if not reverse:
+        out_shape.append(jax.ShapeDtypeStruct((nb, bt), jnp.float32))
+        out_specs.append(pl.BlockSpec((nb, bt), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((p + 2 * pad_t, ch), dt),
+               pltpu.VMEM((p, k * ch), dt),          # im2col columns
+               pltpu.VMEM((p, ch), jnp.float32)]     # skip accumulator
+    if stream_weights:
+        scratch += [pltpu.VMEM((2, k * ch, ch2), dt),
+                    pltpu.VMEM((2, ch, ch2), dt),
+                    pltpu.SemaphoreType.DMA((2, 2))]
+
+    kernel = _make_kernel(n, k, ch, c2, bt, r, t, p, reverse, has_pitch,
+                          stream_weights)
+    results = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    z_b = results[0].reshape(bp, r, c2)[:b, :t]
+    if reverse:
+        return z_b, None
+    logdet = results[1].reshape(bp)[:b]
+    return z_b, logdet
