@@ -43,26 +43,38 @@ def token_durations():
 
 
 def token_templates(rng):
-    """Per-token mel trajectory [dur, 80] with energy across the whole
-    spectrum (like real speech) — a narrow bump on a flat −4 background is
-    pathological for a flow: ~70 near-constant dimensions let the MLE drop
-    by whitening alone, drowning the alignment signal."""
+    """Per-token mel trajectory [dur, 80].
+
+    Two requirements, learned the hard way:
+
+    * energy across the whole spectrum (a narrow bump on a flat −4
+      background lets the flow whiten ~70 near-constant dims);
+    * a **locally-unpredictable token signature**.  Smooth sinusoid
+      templates are interpolable from neighbouring frames inside the
+      flow's ±192-frame receptive field, so the flow whitened them
+      without ever needing the prior — the prior collapsed to N(0,1)
+      for every token and MAS degenerated to a 1-frame staircase
+      (measured at step 10k: mel_mean std over time 0.12).  Real
+      phonemes carry spectral signatures a local context model cannot
+      predict across token boundaries; here that is a fixed random
+      per-token offset vector, which makes alignment the only
+      remaining likelihood lever — the property the harness exists to
+      test."""
     durs = token_durations()
     bins = np.arange(MEL_DIM) / MEL_DIM                 # [0, 1)
     templates = []
     for t in range(VOCAB):
-        # token-specific broadband spectrum: a few smooth harmonics with
-        # token-dependent phases, plus a formant-like bump that drifts
-        base = (1.2 * np.sin(2 * np.pi * (2 * bins + t / 7.0))
-                + 0.9 * np.sin(2 * np.pi * (5 * bins + t / 3.0))
-                + 0.6 * np.sin(2 * np.pi * (9 * bins + t / 11.0)))
+        # the signature: random, full-spectrum, unpredictable from context
+        signature = rng.normal(0.0, 1.1, MEL_DIM)
+        # plus smooth intra-token structure (formant-ish bump that drifts)
+        base = (0.8 * np.sin(2 * np.pi * (2 * bins + t / 7.0))
+                + 0.5 * np.sin(2 * np.pi * (5 * bins + t / 3.0)))
         centre = (0.1 + ((t * 61) % 64) / 80.0)
         frames = []
         for f in range(durs[t]):
             drift = ((t % 5) - 2) * 0.02 * f
-            bump = 2.2 * np.exp(-0.5 * ((bins - centre - drift) / 0.06) ** 2)
-            tilt = 0.4 * np.sin(2 * np.pi * (3 * bins + f / 5.0))
-            frames.append(base + bump + tilt)
+            bump = 1.6 * np.exp(-0.5 * ((bins - centre - drift) / 0.06) ** 2)
+            frames.append(signature + base + bump)
         tpl = np.stack(frames)
         templates.append(np.clip(tpl, -4.0, 4.0))
     return templates

@@ -181,6 +181,7 @@ def fused_coupling(
     batch_tile: int = 4,
     stream_weights: Optional[bool] = None,
     interpret: bool = False,
+    _skip_shard: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
     """One fused affine-coupling pass.
 
@@ -201,6 +202,38 @@ def fused_coupling(
     Returns ``(z_b [B, T, c/2], logdet [B] float32 | None)``.
     """
     b, t, c2 = x_a.shape
+    if not _skip_shard:
+        # under an ambient mesh, run per-device on the batch shard — the
+        # pallas custom-call is opaque to GSPMD and would otherwise be
+        # computed on gathered operands (see parallel/mesh.py)
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.active_data_mesh(b)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            wkeys = sorted(weights)
+            has_pitch_ = pitch is not None
+
+            def inner(xa_, xb_, m_, cond_, *rest):
+                pitch_ = rest[0] if has_pitch_ else None
+                w_ = dict(zip(wkeys, rest[1 if has_pitch_ else 0:]))
+                z, ld = fused_coupling(
+                    xa_, xb_, m_, w_, cond_, pitch_, reverse=reverse,
+                    batch_tile=batch_tile, stream_weights=stream_weights,
+                    interpret=interpret, _skip_shard=True)
+                return z if reverse else (z, ld)
+
+            data, rep = P('data'), P()
+            in_specs = ((data, data, data, P(None, 'data'))
+                        + ((data,) if has_pitch_ else ())
+                        + (rep,) * len(wkeys))
+            out_specs = data if reverse else (data, data)
+            args = ((x_a, x_b, mask, cond_bias)
+                    + ((pitch,) if has_pitch_ else ())
+                    + tuple(weights[k_] for k_ in wkeys))
+            result = mesh_lib.data_shard_map(
+                inner, mesh, in_specs=in_specs, out_specs=out_specs)(*args)
+            return (result, None) if reverse else result
+
     dt = x_a.dtype
     n, k, ch, ch2 = weights['w_in'].shape
     if stream_weights is None:

@@ -115,7 +115,9 @@ def maximum_path_scan(log_p: jax.Array,
         v = jnp.maximum(stay, move) + lp_row
         return v, direction
 
-    v0 = jnp.full((B, T_tok), _NEG, jnp.float32)
+    # derive the init from a (possibly shard_map-varying) input so the
+    # carry's manual axes match the body output under shard_map
+    v0 = jnp.full_like(lp[0], _NEG)
     _, directions = jax.lax.scan(
         forward, v0, (lp, jnp.arange(T_mel)))                # [T_mel,B,T_tok]
 
@@ -331,7 +333,23 @@ def maximum_path(log_p: jax.Array,
     'cpp'    — host C++/OpenMP kernel (mirrors the reference's native path;
                incurs a device→host round trip, provided for parity).
     'numpy'  — host oracle.
+
+    Under an ambient mesh (``parallel.mesh.activate_mesh``) the on-device
+    backends are shard_mapped over the 'data' axis so each chip runs the
+    DP on its own micro-batch — a Pallas custom-call is opaque to GSPMD
+    and would otherwise be computed on gathered (replicated) operands.
     """
+    if backend in ('pallas', 'scan'):
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.active_data_mesh(log_p.shape[0])
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            fn = (maximum_path_pallas if backend == 'pallas'
+                  else maximum_path_scan)
+            return mesh_lib.data_shard_map(
+                fn, mesh,
+                in_specs=(P('data'), P('data'), P('data')),
+                out_specs=P('data'))(log_p, token_lengths, mel_lengths)
     if backend == 'pallas':
         return maximum_path_pallas(log_p, token_lengths, mel_lengths)
     if backend == 'scan':

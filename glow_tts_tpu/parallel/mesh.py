@@ -124,3 +124,54 @@ def replicate_host_local_batch(mesh: Mesh, local_batch):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x),
         local_batch)
+
+
+# ---------------------------------------------------------------------------
+# Ambient mesh for batch-parallel Pallas ops
+#
+# Pallas custom-calls are opaque to GSPMD: under a jitted step consuming
+# batch-sharded arrays, XLA would all-gather their operands onto every
+# device instead of partitioning them.  Batch-parallel kernels (MAS,
+# the fused coupling) therefore consult the *ambient* mesh — set by the
+# trainer around its jitted step calls — and wrap themselves in
+# ``jax.shard_map`` over the 'data' axis, so each device runs the kernel
+# on its own micro-batch.  No mesh active (single chip, bench, examples)
+# → the ops run unwrapped, exactly as before.
+
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_ACTIVE_MESH: "_contextvars.ContextVar[Optional[Mesh]]" = \
+    _contextvars.ContextVar('glow_tts_active_mesh', default=None)
+
+
+@_contextlib.contextmanager
+def activate_mesh(mesh: Optional[Mesh]):
+    """Make ``mesh`` visible to batch-parallel Pallas ops during tracing."""
+    token = _ACTIVE_MESH.set(mesh)
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH.reset(token)
+
+
+def active_data_mesh(batch_size: Optional[int] = None) -> Optional[Mesh]:
+    """The ambient mesh, iff it has a >1 'data' axis that divides the
+    batch; None otherwise (callers then skip shard_map)."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None or 'data' not in mesh.axis_names:
+        return None
+    data = mesh.shape['data']
+    if data <= 1 or (batch_size is not None and batch_size % data != 0):
+        return None
+    return mesh
+
+
+def data_shard_map(fn, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` over the mesh's 'data' axis (other axes unused).
+
+    ``check_vma=False``: pallas_call outputs carry no varying-axes
+    metadata, which the checker would otherwise reject; the wrapped ops
+    are embarrassingly batch-parallel, so the check adds nothing here."""
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)

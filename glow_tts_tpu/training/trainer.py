@@ -120,13 +120,27 @@ class Trainer:
         self._build_model(initial_step)
         self._build_logging()
 
-        self.train_step = jax.jit(make_train_step(config, self.model),
-                                  donate_argnums=0)
-        self.eval_step = jax.jit(make_eval_step(config, self.model))
-        self.inference_step = jax.jit(make_inference_step(
-            config, self.model, max_mel_length=max_mel_length))
+        self.train_step = self._with_mesh(
+            jax.jit(make_train_step(config, self.model), donate_argnums=0))
+        self.eval_step = self._with_mesh(
+            jax.jit(make_eval_step(config, self.model)))
+        self.inference_step = self._with_mesh(jax.jit(make_inference_step(
+            config, self.model, max_mel_length=max_mel_length)))
         self.timer = StepTimer()
         self.scalar_accum: Dict[str, float] = defaultdict(float)
+
+    def _with_mesh(self, fn):
+        """Make the mesh ambient while a jitted step runs (matters only on
+        the first, tracing, call): batch-parallel Pallas ops (MAS, fused
+        coupling) then shard_map themselves over the 'data' axis instead
+        of being computed on GSPMD-gathered operands."""
+        if self.mesh is None:
+            return fn
+
+        def wrapped(*args, **kwargs):
+            with mesh_lib.activate_mesh(self.mesh):
+                return fn(*args, **kwargs)
+        return wrapped
 
     # ------------------------------------------------------------------
 

@@ -140,3 +140,53 @@ def test_attention_diagonality_device_matches_numpy():
 def test_initialize_distributed_noop_without_env(monkeypatch):
     monkeypatch.delenv('GLOWTTS_MULTIHOST', raising=False)
     assert mesh_lib.initialize_distributed() is False
+
+
+def test_mas_shard_mapped_under_mesh_matches_unwrapped():
+    """Under an ambient mesh, maximum_path shard_maps over 'data' — the
+    result must equal the unwrapped op bit-for-bit."""
+    from glow_tts_tpu.ops.mas import maximum_path
+    rng = np.random.default_rng(11)
+    b, t_tok, t_mel = 8, 12, 24
+    log_p = jnp.asarray(rng.standard_normal((b, t_tok, t_mel)), jnp.float32)
+    tl = jnp.asarray(rng.integers(4, t_tok + 1, b), jnp.int32)
+    ml = jnp.asarray(rng.integers(t_tok, t_mel + 1, b), jnp.int32)
+    ml = jnp.maximum(ml, tl)
+
+    ref = np.asarray(maximum_path(log_p, tl, ml, backend='scan'))
+    mesh = mesh_lib.make_mesh(tiny_config())
+    with mesh_lib.activate_mesh(mesh):
+        sharded = np.asarray(jax.jit(
+            lambda a, b_, c: maximum_path(a, b_, c, backend='scan')
+        )(log_p, tl, ml))
+    np.testing.assert_array_equal(sharded, ref)
+
+    # odd batch → mesh doesn't divide it → transparent unwrapped fallback
+    with mesh_lib.activate_mesh(mesh):
+        odd = np.asarray(maximum_path(log_p[:5], tl[:5], ml[:5],
+                                      backend='scan'))
+    np.testing.assert_array_equal(odd, ref[:5])
+
+
+def test_fused_coupling_shard_mapped_under_mesh_matches_unwrapped():
+    from glow_tts_tpu.ops.coupling import fused_coupling
+    rng = np.random.default_rng(12)
+    b, t, c2, ch, n, k = 8, 10, 8, 16, 2, 5
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.2
+    w = {'w_start': mk(c2, ch), 'b_start': mk(ch), 'w_in': mk(n, k, ch, 2 * ch),
+         'w_rs': mk(n, ch, 2 * ch), 'b_rs': mk(n, 2 * ch),
+         'w_end': mk(ch, 2 * c2), 'b_end': mk(2 * c2)}
+    cond = mk(n, b, 2 * ch)
+    mask = (jnp.arange(t)[None, :, None]
+            < jnp.asarray([10, 8, 6, 10, 3, 10, 9, 2])[:, None, None]
+            ).astype(jnp.float32)
+    x_a, x_b = mk(b, t, c2) * mask, mk(b, t, c2) * mask
+
+    z_ref, ld_ref = fused_coupling(x_a, x_b, mask, w, cond, interpret=True)
+    mesh = mesh_lib.make_mesh(tiny_config())
+    with mesh_lib.activate_mesh(mesh):
+        z_sh, ld_sh = jax.jit(
+            lambda *a: fused_coupling(*a, interpret=True)
+        )(x_a, x_b, mask, w, cond)
+    np.testing.assert_array_equal(np.asarray(z_sh), np.asarray(z_ref))
+    np.testing.assert_array_equal(np.asarray(ld_sh), np.asarray(ld_ref))
