@@ -42,6 +42,19 @@ def token_durations():
     return 5 + (np.arange(VOCAB) * 3) % 4
 
 
+def token_sigmas():
+    """Per-token dequantisation-noise amplitude, 0.1..0.9 — the alignment
+    signal that survives flow whitening.  The squeeze-2 coupling predicts
+    odd frames from even frames, so any *mean* structure that is constant
+    within a token (signatures, smooth bases) gets whitened away without
+    the prior; what a local predictor cannot remove is the *magnitude* of
+    frame-iid noise.  Real phonemes differ exactly this way (fricative
+    hiss vs. vowel periodicity → per-phone residual variance), and the
+    Glow-TTS prior has a per-token log_std to capture it — this makes the
+    harness exercise that mechanism instead of fighting the flow."""
+    return 0.1 + 0.8 * ((np.arange(VOCAB) * 5) % 9) / 8.0
+
+
 def token_templates(rng):
     """Per-token mel trajectory [dur, 80].
 
@@ -80,25 +93,40 @@ def token_templates(rng):
     return templates
 
 
-def make_corpus(rng, n=512):
-    """512 patterns (not 64): with a tiny corpus and light noise an
-    exact-likelihood flow simply memorises the training values — MLE
-    reaches ≈ −1.8 with the alignment still uniform, because density
-    concentration around memorised points beats any gain from a better
-    prior.  More patterns + strong dequantisation noise (σ=0.25, re-drawn
-    every step in the train loop) close that shortcut: the only way left
-    to raise the likelihood is a prior that actually predicts the
-    token-conditional spectra, which is exactly the alignment signal."""
+def make_corpus(rng, n=2048):
+    """Corpus design notes — three failure modes, learned the hard way:
+
+    * 64 patterns + light noise → the exact-likelihood flow MEMORISES the
+      corpus (MLE ≈ −1.8 with alignment still uniform);
+    * smooth or constant-per-token templates → the flow WHITENS them via
+      local prediction (the squeeze-2 coupling predicts odd frames from
+      even frames, and within-token frames are nearly identical), prior
+      collapses to N(0,1);
+    * per-token noise *variance* alone → the flow variance-normalises
+      conditioned on the other channel half; plateaus at diag ≈ 0.89.
+
+    Any locally-inferable statistic gets whitened.  What makes real
+    speech alignable is that whitening has an irreducible floor: broadband
+    excitation noise means a local estimate of the spectral envelope from
+    ~6 frames has error σ/√6, so residual token-envelope signal always
+    survives into z for the prior to lock onto.  This corpus reproduces
+    exactly that: strong per-token envelopes (``token_templates``) + large
+    per-frame iid noise BAKED per pattern (σ=0.8 — unbounded content,
+    2048 patterns ≈ unmemorisable at this model size) + per-token fresh
+    dequantisation noise (``token_sigmas``) as a secondary signal."""
     durs = token_durations()
+    sigmas = token_sigmas()
     templates = token_templates(rng)
     patterns = []
     for _ in range(n):
         length = int(rng.integers(12, 36))
         tokens = rng.integers(2, 2 + VOCAB - 1, length).astype(np.int32)
         mel = np.concatenate([templates[t - 2] for t in tokens], axis=0)
-        mel = mel + rng.normal(0.0, 0.05, mel.shape)    # light corpus noise
+        mel = mel + rng.normal(0.0, 0.8, mel.shape)   # broadband excitation
         mel = np.clip(mel, -4.0, 4.0).astype(np.float32)
-        patterns.append({'tokens': tokens, 'mel': mel,
+        sigma = np.repeat(sigmas[tokens - 2], durs[tokens - 2]
+                          ).astype(np.float32)
+        patterns.append({'tokens': tokens, 'mel': mel, 'sigma': sigma,
                          'true_durations': durs[tokens - 2]})
     return patterns
 
@@ -109,6 +137,7 @@ def pad_corpus(patterns, num_squeeze):
     token_lengths = np.zeros((n,), np.int32)
     mels = np.full((n, MAX_MEL, MEL_DIM), -4.0, np.float32)
     mel_lengths = np.zeros((n,), np.int32)
+    sigmas = np.zeros((n, MAX_MEL, 1), np.float32)
     true_durations = np.zeros((n, MAX_TOK), np.float32)
     for i, p in enumerate(patterns):
         tl = len(p['tokens'])
@@ -116,10 +145,12 @@ def pad_corpus(patterns, num_squeeze):
         tokens[i, :tl] = p['tokens']
         token_lengths[i] = tl
         mels[i, :ml] = p['mel'][:ml]
+        sigmas[i, :ml, 0] = p['sigma'][:ml]
         mel_lengths[i] = ml
         true_durations[i, :tl] = p['true_durations']
     return {'tokens': tokens, 'token_lengths': token_lengths,
-            'mels': mels, 'mel_lengths': mel_lengths}, true_durations
+            'mels': mels, 'mel_lengths': mel_lengths,
+            'noise_sigma': sigmas}, true_durations
 
 
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
@@ -147,7 +178,8 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     corpus = make_corpus(rng)
     data, true_durations = pad_corpus(corpus, cfg.decoder.num_squeeze)
 
-    init_batch = {k: v[:batch_size] for k, v in data.items()}
+    init_batch = {k: v[:batch_size] for k, v in data.items()
+                  if k != 'noise_sigma'}
     model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                       init_batch)
     start_step = 0
@@ -184,24 +216,35 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
             idx = jax.random.randint(k, (batch_size,), 0, n)
             batch = {name: jnp.take(v, idx, axis=0)
                      for name, v in data_dev.items()}
-            # fresh dequantisation noise per step: an exact-likelihood flow
-            # on identical-every-epoch patterns drives the density to a
-            # memorisation optimum that ignores alignment; σ=0.25 noise
-            # bounds the achievable density so the prior (and hence the
-            # alignment) is the only remaining likelihood lever
+            # fresh per-frame noise per step, amplitude set by the token
+            # occupying the frame (token_sigmas): blocks memorisation of
+            # an identical-every-epoch corpus AND carries the alignment
+            # signal that survives flow whitening — the prior's per-token
+            # log_std is the only model component that can explain it
+            sigma = batch.pop('noise_sigma')
             batch['mels'] = jnp.clip(
-                batch['mels'] + 0.25 * jax.random.normal(
+                batch['mels'] + sigma * jax.random.normal(
                     jax.random.fold_in(k, 9999), batch['mels'].shape),
                 -4.0, 4.0)
             new_st, metrics = train_fn(carry, batch)
             return new_st, metrics['total']
         return jax.lax.scan(body, st, jnp.arange(eval_every))
 
+    n_eval = min(n, 512)          # eval subset: 2048-pattern full sweeps
+                                  # would dominate wall time via the tunnel
+
     def evaluate(step, st):
         diags, dur_losses, mle_losses, dur_errs = [], [], [], []
-        for start in range(0, n, batch_size):
-            idx = np.arange(start, min(start + batch_size, n))
+        for start in range(0, n_eval, batch_size):
+            idx = np.arange(start, min(start + batch_size, n_eval))
             batch = {k: v[idx] for k, v in data.items()}
+            # evaluate under the trained distribution: the per-token noise
+            # IS the data (alignment-by-variance misreads clean mels)
+            sig = batch.pop('noise_sigma')
+            ev_rng = np.random.default_rng(1234 + start)
+            batch['mels'] = np.clip(
+                batch['mels'] + sig * ev_rng.standard_normal(
+                    batch['mels'].shape).astype(np.float32), -4.0, 4.0)
             loss_dict, outputs = eval_step(st, batch)
             attn = np.asarray(outputs['attentions'], np.float32)
             diags.append(attention_diagonality(
@@ -260,8 +303,8 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
 
     # free-running inference: predicted lengths vs ground truth
     length_ratios = []
-    for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
+    for start in range(0, n_eval, batch_size):
+        idx = np.arange(start, min(start + batch_size, n_eval))
         out = infer_step(state,
                          {'tokens': jnp.asarray(data['tokens'][idx]),
                           'token_lengths':

@@ -245,11 +245,14 @@ class TPUConfig:
     mel_bucket: int = 128
     # 'pallas' | 'scan' | 'cpp' | 'numpy' — monotonic alignment search backend.
     mas_backend: str = 'pallas'
-    # Affine-coupling backend for the deterministic (no-dropout) path:
-    # 'auto' → the fused Pallas kernel (ops/coupling.py) on TPU, flax
-    # elsewhere; 'fused' / 'flax' force a side; 'fused_interpret' runs the
-    # kernel in the Pallas interpreter (CPU parity tests).  Training's
-    # dropout path always uses flax.
+    # Flow-step backend for the deterministic (no-dropout) path:
+    # 'auto' → the fastest measured backend — currently the XLA/flax path:
+    # with the gather-free mixing matrix it runs the 12-step decoder in
+    # 4.9 ms (batch 32 × 384 squeezed frames, v5e) vs 5.1-5.3 ms for the
+    # fused Pallas flow-step kernel (ops/coupling.py), which remains
+    # available as 'fused' (bf16 compute only) and 'fused_interpret'
+    # (Pallas interpreter, CPU parity tests).  Training's dropout path
+    # always uses flax.
     coupling_backend: str = 'auto'
     # XLA matmul precision: 'default' (fast, bf16-input MXU passes; mel MAE
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the

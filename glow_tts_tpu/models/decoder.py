@@ -68,7 +68,8 @@ class ActNorm(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, mask, reverse: bool = False):
+    def __call__(self, x, mask, reverse: bool = False,
+                 return_params: bool = False):
         def stats():
             xf = x.astype(jnp.float32)
             m = mask.astype(jnp.float32)
@@ -81,6 +82,8 @@ class ActNorm(nn.Module):
         logs = self.param('logs', lambda _: -stats()[1], )
         bias = self.param(
             'bias', lambda _: -stats()[0] * jnp.exp(stats()[1] * -1.0))
+        if return_params:
+            return logs.astype(jnp.float32), bias.astype(jnp.float32)
 
         dt = self.dtype or x.dtype
         if reverse:
@@ -119,8 +122,25 @@ class InvertibleConv(nn.Module):
         b = rem % (s // 2)
         return a * (s // 2) + b, m
 
+    @staticmethod
+    def _mixing_matrix(w, c: int, s: int):
+        """Expand the s×s weight into the block-sparse C×C channel-mixing
+        matrix as (P W Pᵀ)·D with CONSTANT one-hot P [C,s] and mask D
+        [C,C].  The indexing formulation ``w[g[:,None], g[None,:]]``
+        lowers to an XLA gather that costs ~0.3 ms per flow step on TPU
+        (profiled: f32[25600] gather fusions dominating the decoder);
+        two tiny matmuls with baked constants are essentially free."""
+        import numpy as np
+        g_idx, m_idx = InvertibleConv._grouping(c, s)
+        p = np.zeros((c, s), np.float32)
+        p[np.arange(c), g_idx] = 1.0
+        d = (m_idx[:, None] == m_idx[None, :]).astype(np.float32)
+        return (jnp.asarray(p) @ w.astype(jnp.float32)
+                @ jnp.asarray(p).T) * jnp.asarray(d)
+
     @nn.compact
-    def __call__(self, x, mask, reverse: bool = False):
+    def __call__(self, x, mask, reverse: bool = False,
+                 return_params: bool = False):
         s = self.num_split
         b, t, c = x.shape
         assert s % 2 == 0 and c % s == 0
@@ -133,6 +153,8 @@ class InvertibleConv(nn.Module):
             return w.at[:, 0].multiply(sign)
 
         weight = self.param('weight', orthogonal_init)
+        if return_params:
+            return weight.astype(jnp.float32)
 
         lengths = mask.astype(jnp.float32).sum(axis=(1, 2))
         if reverse:
@@ -143,9 +165,7 @@ class InvertibleConv(nn.Module):
             _, logabsdet = jnp.linalg.slogdet(weight)
             logdet = logabsdet * (c / s) * lengths
 
-        g_idx, m_idx = self._grouping(c, s)
-        mixing = (w[g_idx[:, None], g_idx[None, :]]
-                  * (m_idx[:, None] == m_idx[None, :]))      # [C_out, C_in]
+        mixing = self._mixing_matrix(w, c, s)                # [C_out, C_in]
         z = jnp.einsum('btc,dc->btd', x, mixing.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
         return z * mask, logdet
@@ -246,7 +266,8 @@ class AffineCoupling(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
-                 reverse: bool = False, deterministic: bool = True):
+                 reverse: bool = False, deterministic: bool = True,
+                 return_params: bool = False):
         cfg = self.config.decoder.affine_coupling
         c = x.shape[-1]
         x_a, x_b = x[..., :c // 2], x[..., c // 2:]
@@ -257,6 +278,12 @@ class AffineCoupling(nn.Module):
         end_mod = Conv1d(c, 1, kernel_init=nn.initializers.zeros,
                          dtype=self.dtype, name='end')
 
+        if return_params:
+            # hand the packed kernel weights + conditioning bias to a
+            # fused caller one level up (FlowStep)
+            return self._gather(x_a, mask, start_mod, wavenet, end_mod,
+                                speaker, prosody, pitch)
+
         backend = self.config.tpu.coupling_backend
         # hardware fused path is bf16-only: Mosaic's default f32 dot is a
         # single bf16 MXU pass, which would silently degrade the f32
@@ -264,7 +291,7 @@ class AffineCoupling(nn.Module):
         dt = self.dtype or x.dtype
         fused = deterministic and (
             backend == 'fused_interpret'
-            or (backend in ('auto', 'fused')
+            or (backend == 'fused'
                 and jax.default_backend() == 'tpu'
                 and dt == jnp.bfloat16))
         if fused:
@@ -286,15 +313,13 @@ class AffineCoupling(nn.Module):
                       * mask.astype(jnp.float32)).sum(axis=(1, 2))
         return jnp.concatenate([x_a, x_b], axis=-1), logdet
 
-    def _fused(self, x_a, x_b, mask, start_mod, wavenet, end_mod,
-               speaker, prosody, pitch, reverse, interpret):
-        """Deterministic path through the fused Pallas coupling kernel
-        (``ops/coupling.py``) — same parameters, same math, one
-        VMEM-resident pass instead of per-layer HBM round trips."""
-        from glow_tts_tpu.ops.coupling import fused_coupling
-
+    def _gather(self, x_a, mask, start_mod, wavenet, end_mod,
+                speaker, prosody, pitch):
+        """Create the identical parameter tree and pack the effective
+        kernels + per-layer conditioning bias for ``ops/coupling.py``."""
         ch = self.config.decoder.affine_coupling.calc_channels
         b = x_a.shape[0]
+        c = 2 * x_a.shape[-1]
         w_start, b_start = start_mod(x_a, return_params=True)
         wn = wavenet(x_a, mask, speaker, prosody, pitch,
                      return_params=True)
@@ -323,6 +348,17 @@ class AffineCoupling(nn.Module):
         }
         if pitch is not None:
             weights['w_pitch'] = wn['w_pitch']
+        return weights, cond
+
+    def _fused(self, x_a, x_b, mask, start_mod, wavenet, end_mod,
+               speaker, prosody, pitch, reverse, interpret):
+        """Deterministic path through the fused Pallas coupling kernel
+        (``ops/coupling.py``) — same parameters, same math, one
+        VMEM-resident pass instead of per-layer HBM round trips."""
+        from glow_tts_tpu.ops.coupling import fused_coupling
+
+        weights, cond = self._gather(x_a, mask, start_mod, wavenet,
+                                     end_mod, speaker, prosody, pitch)
         # enforce the module compute dtype: upstream mask multiplies promote
         # activations to f32, which would silently flip the kernel into the
         # (slower, weight-streaming) f32 configuration
@@ -347,6 +383,21 @@ class FlowStep(nn.Module):
                                  self.dtype, name='invconv')
         coupling = AffineCoupling(self.config, self.dtype, name='coupling')
 
+        backend = self.config.tpu.coupling_backend
+        dt = self.dtype or x.dtype
+        # 'auto' resolves to flax/XLA (measured fastest after the
+        # gather-free mixing fix); 'fused' opts into the Pallas flow-step
+        # kernel (bf16 hardware only — see ops/coupling.py on f32 dots)
+        fused = deterministic and (
+            backend == 'fused_interpret'
+            or (backend == 'fused'
+                and jax.default_backend() == 'tpu'
+                and dt == jnp.bfloat16))
+        if fused:
+            return self._fused_step(
+                x, mask, actnorm, invconv, coupling, speaker, prosody,
+                pitch, reverse, interpret=backend == 'fused_interpret')
+
         logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
         if reverse:
             x, _ = coupling(x, mask, speaker, prosody, pitch,
@@ -362,6 +413,40 @@ class FlowStep(nn.Module):
                              deterministic=deterministic)
             logdet_total += ld
         return x, logdet_total
+
+    def _fused_step(self, x, mask, actnorm, invconv, coupling,
+                    speaker, prosody, pitch, reverse, interpret):
+        """Whole flow step (ActNorm → inv-1×1 → coupling; reverse order on
+        the inverse pass) as ONE Pallas call (``ops/coupling.py``): the
+        ActNorm affine and the block-sparse channel mixing become the
+        kernel's prologue/epilogue, removing two XLA-op regions and two
+        kernel boundaries per step from the hot flow loop."""
+        from glow_tts_tpu.ops.coupling import fused_flow_step
+
+        c = x.shape[-1]
+        s = self.config.decoder.num_split
+        logs, bias = actnorm(x, mask, return_params=True)
+        w = invconv(x, mask, return_params=True)
+        weights, cond = coupling(x, mask, speaker, prosody, pitch,
+                                 return_params=True)
+
+        w_use = jnp.linalg.inv(w) if reverse else w
+        mixing = InvertibleConv._mixing_matrix(w_use, c, s)
+        weights = dict(weights)
+        weights['an_logs'] = logs
+        weights['an_bias'] = bias
+        weights['mix_t'] = mixing.T
+        if not reverse:
+            weights['ld_const'] = (
+                jnp.sum(logs) + jnp.linalg.slogdet(w)[1] * (c / s))
+
+        dt = self.dtype or x.dtype
+        z, ld = fused_flow_step(x.astype(dt), mask, weights, cond,
+                                pitch=pitch, reverse=reverse,
+                                interpret=interpret)
+        if ld is None:
+            ld = jnp.zeros((x.shape[0],), jnp.float32)
+        return z.astype(x.dtype), ld
 
 
 class FlowDecoder(nn.Module):

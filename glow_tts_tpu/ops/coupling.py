@@ -56,12 +56,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
-                 p: int, reverse: bool, has_pitch: bool, stream: bool):
+                 p: int, reverse: bool, has_pitch: bool, stream: bool,
+                 flowstep: bool = False, nc: int = 2):
     pad = (k - 1) // 2
 
     def kernel(*refs):
         it = iter(refs)
-        xa, xb, m_ref, ind, cond = (next(it) for _ in range(5))
+        if flowstep:
+            x_ref, m_ref, ind, cond = (next(it) for _ in range(4))
+            an, mix = next(it), next(it)
+            ldc = None if reverse else next(it)
+        else:
+            xa, xb, m_ref, ind, cond = (next(it) for _ in range(5))
         ws, bs, w_in, w_rs, brs, we, be = (next(it) for _ in range(7))
         if has_pitch:
             pit, wp = next(it), next(it)
@@ -71,8 +77,26 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
         if stream:
             win_buf, wrs_buf, sems = next(it), next(it), next(it)
 
-        dt = xa.dtype
+        dt = x_ref.dtype if flowstep else xa.dtype
         m = m_ref[0]                                   # [P, 1] float32
+
+        if flowstep:
+            if reverse:
+                # reverse flow step runs coupling⁻¹ first on the raw input
+                xa_v = x_ref[0][:, :c2]
+                xbv = x_ref[0][:, c2:].astype(jnp.float32)
+            else:
+                # ActNorm → invertible 1×1 (as one [P,C]×[C,C] matmul with
+                # the block-sparse mixing folded in) → coupling halves
+                xv = x_ref[0].astype(jnp.float32)
+                y = (an[1][None, :] + jnp.exp(an[0])[None, :] * xv) * m
+                yd = jnp.dot(y.astype(dt), mix[...],
+                             preferred_element_type=jnp.float32) * m
+                xa_v = yd[:, :c2].astype(dt)
+                xbv = yd[:, c2:]
+        else:
+            xa_v = xa[0]
+            xbv = xb[0].astype(jnp.float32)
 
         def dma_in(i, slot):
             return pltpu.make_async_copy(w_in.at[i], win_buf.at[slot],
@@ -87,13 +111,12 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
             dma_rs(0, 0).start()
 
         # start 1×1: h = (x_a @ W_start + b_start) * mask
-        h = jnp.dot(xa[0], ws[...], preferred_element_type=jnp.float32)
+        h = jnp.dot(xa_v, ws[...], preferred_element_type=jnp.float32)
         h = (h + bs[0][None, :]) * m
 
         xp[...] = jnp.zeros((p + 2 * pad, ch), dt)
         xp[pad:pad + p] = h.astype(dt)
 
-        nc = 2
         base = (p // nc) // 8 * 8
         chunks = [(ci * base, base) for ci in range(nc - 1)]
         chunks.append(((nc - 1) * base, p - (nc - 1) * base))
@@ -143,11 +166,32 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
         outs = jnp.dot(out.astype(dt), we[...],
                        preferred_element_type=jnp.float32) + be[0][None, :]
         mean, logs = outs[:, :c2], outs[:, c2:]
-        xbv = xb[0].astype(jnp.float32)
         if reverse:
             z = (xbv - mean) * jnp.exp(-logs) * m
         else:
             z = (mean + jnp.exp(logs) * xbv) * m
+
+        if flowstep:
+            if reverse:
+                # coupling⁻¹ done; undo the 1×1 mix then ActNorm
+                y = jnp.concatenate([xa_v.astype(jnp.float32), z], axis=1)
+                yd = jnp.dot(y.astype(dt), mix[...],
+                             preferred_element_type=jnp.float32) * m
+                zfull = (yd - an[1][None, :]) * jnp.exp(-an[0])[None, :] * m
+                zb[0] = zfull.astype(dt)
+            else:
+                zb[0] = jnp.concatenate(
+                    [xa_v.astype(jnp.float32), z], axis=1).astype(dt)
+                lm = logs * m
+                gi = pl.program_id(0)
+                for bi in range(bt):
+                    # coupling logdet + (ActNorm + invconv) per-frame const
+                    ld[gi, bi] = (jnp.sum(lm[bi * r:bi * r + t])
+                                  + ldc[0, 0]
+                                  * jnp.sum(m[bi * r:bi * r + t]))
+            return
+
+        if not reverse:
             lm = logs * m
             # the logdet block is the whole [nb, bt] array (constant index
             # map — Mosaic requires full trailing dims for tiny blocks);
@@ -179,6 +223,7 @@ def fused_coupling(
     *,
     reverse: bool = False,
     batch_tile: int = 4,
+    row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
@@ -218,7 +263,8 @@ def fused_coupling(
                 w_ = dict(zip(wkeys, rest[1 if has_pitch_ else 0:]))
                 z, ld = fused_coupling(
                     xa_, xb_, m_, w_, cond_, pitch_, reverse=reverse,
-                    batch_tile=batch_tile, stream_weights=stream_weights,
+                    batch_tile=batch_tile, row_chunks=row_chunks,
+                    stream_weights=stream_weights,
                     interpret=interpret, _skip_shard=True)
                 return z if reverse else (z, ld)
 
@@ -313,7 +359,7 @@ def fused_coupling(
                     pltpu.SemaphoreType.DMA((2, 2))]
 
     kernel = _make_kernel(n, k, ch, c2, bt, r, t, p, reverse, has_pitch,
-                          stream_weights)
+                          stream_weights, nc=row_chunks)
     results = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -329,3 +375,166 @@ def fused_coupling(
         return z_b, None
     logdet = results[1].reshape(bp)[:b]
     return z_b, logdet
+
+
+def fused_flow_step(
+    x: jax.Array,
+    mask: jax.Array,
+    weights: Dict[str, jax.Array],
+    cond_bias: jax.Array,
+    pitch: Optional[jax.Array] = None,
+    *,
+    reverse: bool = False,
+    batch_tile: int = 4,
+    row_chunks: int = 2,
+    stream_weights: Optional[bool] = None,
+    interpret: bool = False,
+    _skip_shard: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """One fused FLOW STEP: ActNorm → invertible 1×1 → affine coupling
+    (reverse order on the inverse pass) in a single pallas_call.
+
+    On top of the :func:`fused_coupling` weight dict, ``weights`` carries:
+      ``an_logs [C]``, ``an_bias [C]`` — ActNorm parameters (fp32);
+      ``mix_t [C, C]`` — the TRANSPOSED block-sparse channel-mixing matrix
+        (forward: mixing.T; reverse: inv(mixing).T), built by the caller
+        from the invertible-conv weight (``models/decoder.py``);
+      ``ld_const`` — scalar fp32: ``sum(an_logs) + logabsdet(W)·(C/split)``,
+        the per-valid-frame logdet of the two folded layers (forward only).
+
+    Returns ``(z [B, T, C], logdet [B] | None)`` — the complete flow-step
+    output including the pass-through half.
+    """
+    b, t, c = x.shape
+    if not _skip_shard:
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.active_data_mesh(b)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            wkeys = sorted(weights)
+            has_pitch_ = pitch is not None
+
+            def inner(x_, m_, cond_, *rest):
+                pitch_ = rest[0] if has_pitch_ else None
+                w_ = dict(zip(wkeys, rest[1 if has_pitch_ else 0:]))
+                z, ld = fused_flow_step(
+                    x_, m_, w_, cond_, pitch_, reverse=reverse,
+                    batch_tile=batch_tile, row_chunks=row_chunks,
+                    stream_weights=stream_weights,
+                    interpret=interpret, _skip_shard=True)
+                return z if reverse else (z, ld)
+
+            data, rep = P('data'), P()
+            in_specs = ((data, data, P(None, 'data'))
+                        + ((data,) if has_pitch_ else ())
+                        + (rep,) * len(wkeys))
+            out_specs = data if reverse else (data, data)
+            args = ((x, mask, cond_bias)
+                    + ((pitch,) if has_pitch_ else ())
+                    + tuple(weights[k_] for k_ in wkeys))
+            result = mesh_lib.data_shard_map(
+                inner, mesh, in_specs=in_specs, out_specs=out_specs)(*args)
+            return (result, None) if reverse else result
+
+    dt = x.dtype
+    c2 = c // 2
+    n, k, ch, ch2 = weights['w_in'].shape
+    if stream_weights is None:
+        stream_weights = dt == jnp.float32
+    bt = batch_tile
+    pad_t = (k - 1) // 2
+    r = t + 2 * pad_t
+    p = bt * r
+
+    b_pad = (-b) % bt
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        x, mask = jnp.pad(x, pad3), jnp.pad(mask, pad3)
+        cond_bias = jnp.pad(cond_bias, ((0, 0), (0, b_pad), (0, 0)))
+        if pitch is not None:
+            pitch = jnp.pad(pitch, pad3)
+    bp = b + b_pad
+    nb = bp // bt
+
+    x_p = _pack(x, bt, r)
+    m_p = _pack(mask.astype(jnp.float32), bt, r)
+    cond_p = (cond_bias.transpose(1, 0, 2)
+              .reshape(nb, bt, n, ch2).transpose(0, 2, 1, 3).astype(dt))
+    ind = jnp.repeat(jnp.eye(bt, dtype=dt), r, axis=0)
+
+    has_pitch = pitch is not None
+    w_space = pl.ANY if stream_weights else pltpu.VMEM
+    vm = pltpu.VMEM
+
+    def vspec(block, index_map=None):
+        return pl.BlockSpec(block, index_map, memory_space=vm)
+
+    whole = pl.BlockSpec(memory_space=vm)
+    an = jnp.stack([weights['an_logs'].astype(jnp.float32),
+                    weights['an_bias'].astype(jnp.float32)])       # [2, C]
+    in_specs = [
+        vspec((1, p, c), lambda i: (i, 0, 0)),                     # x
+        vspec((1, p, 1), lambda i: (i, 0, 0)),                     # mask
+        whole,                                                     # indicator
+        vspec((1, n, bt, ch2), lambda i: (i, 0, 0, 0)),            # cond
+        whole, whole,                                              # an, mix_t
+    ]
+    operands = [x_p, m_p, ind, cond_p, an, weights['mix_t'].astype(dt)]
+    if not reverse:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        operands.append(
+            jnp.asarray(weights['ld_const'],
+                        jnp.float32).reshape(1, 1))
+    in_specs += [
+        whole, whole,                                              # w/b start
+        pl.BlockSpec(memory_space=w_space),                        # w_in
+        pl.BlockSpec(memory_space=w_space),                        # w_rs
+        whole, whole, whole,                                       # b_rs, end
+    ]
+    operands += [
+        weights['w_start'].astype(dt),
+        weights['b_start'].astype(jnp.float32).reshape(1, -1),
+        weights['w_in'].astype(dt).reshape(n, k * ch, ch2),
+        weights['w_rs'].astype(dt),
+        weights['b_rs'].astype(jnp.float32),
+        weights['w_end'].astype(dt),
+        weights['b_end'].astype(jnp.float32).reshape(1, -1),
+    ]
+    if has_pitch:
+        ps = pitch.shape[-1]
+        in_specs += [vspec((1, p, ps), lambda i: (i, 0, 0)), whole]
+        operands += [_pack(pitch.astype(dt), bt, r),
+                     weights['w_pitch'].astype(dt)]
+
+    out_shape = [jax.ShapeDtypeStruct((nb, p, c), dt)]
+    out_specs = [vspec((1, p, c), lambda i: (i, 0, 0))]
+    if not reverse:
+        out_shape.append(jax.ShapeDtypeStruct((nb, bt), jnp.float32))
+        out_specs.append(pl.BlockSpec((nb, bt), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((p + 2 * pad_t, ch), dt),
+               pltpu.VMEM((p, k * ch), dt),
+               pltpu.VMEM((p, ch), jnp.float32)]
+    if stream_weights:
+        scratch += [pltpu.VMEM((2, k * ch, ch2), dt),
+                    pltpu.VMEM((2, ch, ch2), dt),
+                    pltpu.SemaphoreType.DMA((2, 2))]
+
+    kernel = _make_kernel(n, k, ch, c2, bt, r, t, p, reverse, has_pitch,
+                          stream_weights, flowstep=True, nc=row_chunks)
+    results = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    z = results[0].reshape(bp, r, c)[:b, :t]
+    if reverse:
+        return z, None
+    return z, results[1].reshape(bp)[:b]

@@ -146,3 +146,33 @@ def test_fused_flow_decoder_end_to_end():
     back_fus, _, _ = fused_dec.apply(params, z_fus, mask, reverse=True)
     np.testing.assert_allclose(np.asarray(back_fus), np.asarray(back_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('reverse', [False, True])
+def test_fused_flow_step_matches_flax(reverse):
+    """Whole-FlowStep fusion (ActNorm + inv1×1 folded into the kernel)
+    agrees with the three-module flax path on shared params."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(7)
+    b, t, c = 3, 9, 16
+    x, mask = _inputs(rng, b, t, c, [9, 6, 3])
+
+    flax_step = D.FlowStep(_with_backend(cfg, 'flax'))
+    fused_step = D.FlowStep(_with_backend(cfg, 'fused_interpret'))
+    params = flax_step.init(jax.random.PRNGKey(3), x, mask)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.03 * np.float32(rng.standard_normal(p.shape)),
+        params)
+
+    z_ref, ld_ref = flax_step.apply(params, x, mask, reverse=reverse)
+    z_fus, ld_fus = fused_step.apply(params, x, mask, reverse=reverse)
+    np.testing.assert_allclose(np.asarray(z_fus), np.asarray(z_ref),
+                               rtol=3e-5, atol=3e-6)
+    np.testing.assert_allclose(np.asarray(ld_fus), np.asarray(ld_ref),
+                               rtol=3e-5, atol=1e-4)
+
+    # roundtrip through the fused step
+    back, _ = fused_step.apply(params, z_fus, mask,
+                               reverse=not reverse)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
