@@ -154,7 +154,7 @@ def pad_corpus(patterns, num_squeeze):
 
 
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
-        state_file=None):
+        state_file=None, max_tokens=None):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -176,6 +176,9 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
 
     rng = np.random.default_rng(seed)
     corpus = make_corpus(rng)
+    if max_tokens is not None:
+        # the reference-twin subset (benchmarks/reference_convergence.py)
+        corpus = [p for p in corpus if len(p['tokens']) <= max_tokens]
     data, true_durations = pad_corpus(corpus, cfg.decoder.num_squeeze)
 
     init_batch = {k: v[:batch_size] for k, v in data.items()
@@ -339,11 +342,18 @@ def main():
     parser.add_argument('--eval-every', type=int, default=500)
     parser.add_argument('--state-file', default=None,
                         help='pickle for save/resume across invocations')
+    parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--max-tokens', type=int, default=None,
+                        help='reference-twin subset (see '
+                             'reference_convergence.py)')
+    parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
+                  batch_size=args.batch_size, max_tokens=args.max_tokens,
                   state_file=args.state_file)
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'convergence_results.json')
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'convergence_results.json')
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: v for k, v in results.items() if k != 'history'}))
