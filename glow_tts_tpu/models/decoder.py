@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from glow_tts_tpu.config import Config
-from glow_tts_tpu.models.layers import Conv1d, WNConv1d
+from glow_tts_tpu.models.layers import Conv1d, WNConv1d, masked
 
 
 def squeeze(x: jax.Array, mask: Optional[jax.Array],
@@ -46,7 +46,7 @@ def squeeze(x: jax.Array, mask: Optional[jax.Array],
         mask = mask[:, num_squeeze - 1:t:num_squeeze]
     else:
         mask = jnp.ones((b, t // num_squeeze, 1), x.dtype)
-    return x * mask, mask
+    return masked(x, mask), mask
 
 
 def unsqueeze(x: jax.Array, mask: Optional[jax.Array],
@@ -60,7 +60,7 @@ def unsqueeze(x: jax.Array, mask: Optional[jax.Array],
                                 ).reshape(b, t * num_squeeze, 1)
     else:
         mask = jnp.ones((b, t * num_squeeze, 1), x.dtype)
-    return x * mask, mask
+    return masked(x, mask), mask
 
 
 class ActNorm(nn.Module):
@@ -87,10 +87,12 @@ class ActNorm(nn.Module):
 
         dt = self.dtype or x.dtype
         if reverse:
-            z = (x - bias.astype(dt)) * jnp.exp(-logs).astype(dt) * mask
+            z = masked((x - bias.astype(dt)) * jnp.exp(-logs).astype(dt),
+                       mask)
             logdet = None
         else:
-            z = (bias.astype(dt) + jnp.exp(logs).astype(dt) * x) * mask
+            z = masked(bias.astype(dt) + jnp.exp(logs).astype(dt) * x,
+                       mask)
             logdet = (logs.astype(jnp.float32).sum()
                       * mask.astype(jnp.float32).sum(axis=(1, 2)))
         return z, logdet
@@ -168,7 +170,7 @@ class InvertibleConv(nn.Module):
         mixing = self._mixing_matrix(w, c, s)                # [C_out, C_in]
         z = jnp.einsum('btc,dc->btd', x, mixing.astype(x.dtype),
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        return z * mask, logdet
+        return masked(z, mask), logdet
 
 
 class WaveNet(nn.Module):
@@ -255,9 +257,9 @@ class WaveNet(nn.Module):
             if last:
                 output = output + res_skip
             else:
-                x = (x + res_skip[..., :ch]) * mask
+                x = masked(x + res_skip[..., :ch], mask)
                 output = output + res_skip[..., ch:]
-        return output * mask
+        return masked(output, mask)
 
 
 class AffineCoupling(nn.Module):
@@ -299,16 +301,16 @@ class AffineCoupling(nn.Module):
                                speaker, prosody, pitch, reverse,
                                interpret=backend == 'fused_interpret')
 
-        h = start_mod(x_a) * mask
+        h = masked(start_mod(x_a), mask)
         h = wavenet(h, mask, speaker, prosody, pitch, deterministic)
         outs = end_mod(h)
         mean, logs = outs[..., :c // 2], outs[..., c // 2:]
 
         if reverse:
-            x_b = (x_b - mean) * jnp.exp(-logs) * mask
+            x_b = masked((x_b - mean) * jnp.exp(-logs), mask)
             logdet = None
         else:
-            x_b = (mean + jnp.exp(logs) * x_b) * mask
+            x_b = masked(mean + jnp.exp(logs) * x_b, mask)
             logdet = (logs.astype(jnp.float32)
                       * mask.astype(jnp.float32)).sum(axis=(1, 2))
         return jnp.concatenate([x_a, x_b], axis=-1), logdet

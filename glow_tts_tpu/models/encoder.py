@@ -29,7 +29,7 @@ from flax import linen as nn
 
 from glow_tts_tpu.config import Config
 from glow_tts_tpu.models.layers import (
-    Conv1d, LayerNorm, RelativePositionMultiHeadAttention)
+    Conv1d, LayerNorm, RelativePositionMultiHeadAttention, masked)
 
 
 class Prenet(nn.Module):
@@ -42,14 +42,14 @@ class Prenet(nn.Module):
         residual = x
         for i in range(cfg.prenet.stacks):
             x = Conv1d(cfg.channels, cfg.prenet.kernel_size,
-                       dtype=self.dtype, name=f'conv_{i}')(x * mask)
+                       dtype=self.dtype, name=f'conv_{i}')(masked(x, mask))
             x = LayerNorm(dtype=self.dtype, name=f'norm_{i}')(x)
             x = nn.relu(x)
             x = nn.Dropout(cfg.prenet.dropout_rate)(
                 x, deterministic=deterministic)
         x = Conv1d(cfg.channels, 1, dtype=self.dtype,
                    name='proj')(x) + residual
-        return x * mask
+        return masked(x, mask)
 
 
 class TransformerBlock(nn.Module):
@@ -59,7 +59,7 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, attn_mask, deterministic: bool = True):
         cfg = self.config.encoder.transformer
-        x = x * mask
+        x = masked(x, mask)
         residual = x
         x, _ = RelativePositionMultiHeadAttention(
             calc_channels=self.config.encoder.channels,
@@ -74,13 +74,13 @@ class TransformerBlock(nn.Module):
 
         residual = x
         x = Conv1d(cfg.conv.calc_channels, cfg.conv.kernel_size,
-                   dtype=self.dtype, name='conv_0')(x * mask)
+                   dtype=self.dtype, name='conv_0')(masked(x, mask))
         x = nn.relu(x)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
         x = Conv1d(self.config.encoder.channels, cfg.conv.kernel_size,
-                   dtype=self.dtype, name='conv_1')(x * mask)
+                   dtype=self.dtype, name='conv_1')(masked(x, mask))
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
-        x = LayerNorm(dtype=self.dtype, name='norm_1')(x * mask + residual)
+        x = LayerNorm(dtype=self.dtype, name='norm_1')(masked(x, mask) + residual)
         return x
 
 
@@ -99,11 +99,11 @@ class DurationPredictor(nn.Module):
             x = jnp.concatenate([x, cond.astype(x.dtype)], axis=-1)
         for i in range(cfg.stacks):
             x = Conv1d(cfg.channels, cfg.kernel_size, dtype=self.dtype,
-                       name=f'conv_{i}')(x * mask)
+                       name=f'conv_{i}')(masked(x, mask))
             x = nn.relu(x)
             x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
-        x = Conv1d(1, 1, dtype=self.dtype, name='proj')(x * mask)
-        return x * mask                                     # [B, T, 1]
+        x = Conv1d(1, 1, dtype=self.dtype, name='proj')(masked(x, mask))
+        return masked(x, mask)                              # [B, T, 1]
 
 
 class TextEncoder(nn.Module):
@@ -134,11 +134,11 @@ class TextEncoder(nn.Module):
         for i in range(cfg.transformer.stacks):
             x = TransformerBlock(self.config, self.dtype, name=f'block_{i}')(
                 x, mask, attn_mask, deterministic)
-        x = x * mask
+        x = masked(x, mask)
 
-        stats = Conv1d(2 * self.config.sound.mel_dim, 1,
-                       kernel_init=nn.initializers.xavier_uniform(),
-                       dtype=self.dtype, name='project')(x) * mask
+        stats = masked(Conv1d(2 * self.config.sound.mel_dim, 1,
+                              kernel_init=nn.initializers.xavier_uniform(),
+                              dtype=self.dtype, name='project')(x), mask)
         mean, log_std = jnp.split(stats, 2, axis=-1)
 
         # Duration predictor sees detached features and conditioning

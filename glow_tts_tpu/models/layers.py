@@ -20,6 +20,14 @@ from glow_tts_tpu.ops import attention as attn_ops
 Dtype = jnp.dtype
 
 
+def masked(x: jax.Array, mask: jax.Array) -> jax.Array:
+    """``x * mask`` without dtype promotion: the float32 mask would
+    otherwise promote bf16 activations to f32 through every masked op
+    (profiled as doubled HBM traffic on the whole flow path).  The mask
+    is 0/1 — exact in any dtype — so casting it is lossless."""
+    return x * mask.astype(x.dtype)
+
+
 def sequence_mask(lengths: jax.Array, max_length: int,
                   dtype=jnp.float32) -> jax.Array:
     """[B] lengths → [B, T, 1] float mask (cf. ``Modules.py:206-211``,
