@@ -296,9 +296,9 @@ def maximum_path_pallas(log_p: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b_t, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((T_mel, Bp, T_tok), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((T_mel, b_t, T_tok), jnp.bfloat16),   # dir/path table
