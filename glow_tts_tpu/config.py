@@ -274,6 +274,15 @@ class TPUConfig:
     # trades ~⅓ more FLOPs for O(stack) less activation memory — enables
     # much larger batch × sequence products per chip.
     remat_flows: bool = False
+    # Serving-path weight-norm folding: the coupling WaveNet's weight-normed
+    # convs recompute g·v/‖v‖ on every dispatch (``Modules.py:766,818,825``
+    # torch weight_norm).  With this flag the model expects PRE-FOLDED
+    # kernels (v ← g·v/‖v‖, g dropped — apply
+    # ``layers.fold_weight_norm_params`` to a trained checkpoint) and skips
+    # the normalisation entirely.  Training must keep this False: the
+    # g/‖v‖ decomposition is what gives weight norm its conditioning.
+    # ``Inferencer`` enables it automatically at load.
+    fold_weight_norm: bool = False
 
 
 @dataclass(frozen=True)

@@ -27,6 +27,30 @@ def round_up(value: int, multiple: int) -> int:
     return -(-value // multiple) * multiple
 
 
+def batch_rng(seed: int, items: Sequence[Dict],
+              mel_key: str = 'mel') -> np.random.Generator:
+    """Deterministic per-batch generator for GE2E slice offsets.
+
+    numpy ``Generator`` objects are not thread-safe, and ``DataLoader``
+    calls one collater from several producer threads — a single shared
+    generator (the round-2 design) could corrupt its state under
+    ``workers > 1``.  Instead every ``__call__`` derives a fresh generator
+    from the collater seed plus a fingerprint of the batch content
+    (mel lengths + speaker ids), so offsets are race-free AND identical no
+    matter which thread assembles the batch or in which order batches are
+    produced.  Epoch-to-epoch freshness comes from the sampler reshuffling
+    batch composition (different fingerprint → different offsets), matching
+    the reference's fresh-random slicing intent (``Datasets.py:41-65``).
+    """
+    fingerprint = [np.uint32(seed) & 0xFFFFFFFF]
+    for item in items:
+        mel = item.get(mel_key)
+        if mel is not None:
+            fingerprint.append(mel.shape[0])
+        fingerprint.append(int(item.get('speaker_id', 0)))
+    return np.random.default_rng(np.random.SeedSequence(fingerprint))
+
+
 def slice_mel_for_ge2e(mel: np.ndarray, samples: int, slice_length: int,
                        overlap_length: int,
                        rng: np.random.Generator) -> np.ndarray:
@@ -51,7 +75,7 @@ class TrainCollater:
                  seed: int = 0):
         self.config = config
         self.tokenizer = tokenizer
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __call__(self, items: Sequence[Dict]) -> Dict[str, np.ndarray]:
         cfg = self.config
@@ -91,10 +115,11 @@ class TrainCollater:
                 [item['speaker_id'] for item in items], np.int32)
             if cfg.speaker_embedding.type.upper() == 'GE2E':
                 ge2e = cfg.speaker_embedding.ge2e.inference
+                rng = batch_rng(self.seed, items)
                 out['mels_for_ge2e'] = np.concatenate([
                     slice_mel_for_ge2e(item['mel'], ge2e.samples,
                                        ge2e.slice_length,
-                                       ge2e.overlap_length, self.rng)
+                                       ge2e.overlap_length, rng)
                     for item in items]).astype(np.float32)
         if self.config.uses_gradient_reversal:
             out['pitches'] = pitch_pad
@@ -107,7 +132,7 @@ class InferenceCollater:
     def __init__(self, config: Config, tokenizer: Tokenizer):
         self.config = config
         self.tokenizer = tokenizer
-        self.rng = np.random.default_rng(0)
+        self.seed = 0
 
     def __call__(self, items: Sequence[Dict]) -> Dict[str, np.ndarray]:
         cfg = self.config
@@ -130,10 +155,11 @@ class InferenceCollater:
         if cfg.uses_speaker_embedding and \
                 cfg.speaker_embedding.type.upper() == 'GE2E':
             ge2e = cfg.speaker_embedding.ge2e.inference
+            rng = batch_rng(self.seed, items, mel_key='mel_for_ge2e')
             out['mels_for_ge2e'] = np.concatenate([
                 slice_mel_for_ge2e(item['mel_for_ge2e'], ge2e.samples,
                                    ge2e.slice_length, ge2e.overlap_length,
-                                   self.rng)
+                                   rng)
                 for item in items]).astype(np.float32)
         if cfg.uses_prosody_encoder:
             mels = [item['mel_for_prosody'] for item in items]

@@ -9,8 +9,10 @@ see :mod:`glow_tts_tpu.data.patterns`).
 
 TPU-first difference: the DSP (mel + YIN pitch) is the jit-compiled kernels
 from :mod:`glow_tts_tpu.ops` — batched FFTs instead of a Python loop per
-frame.  Audio decode uses the stdlib/scipy (librosa is not a dependency);
-wav and flac-via-soundfile when available, otherwise wav only.
+frame.  Audio decode is a dependency-light chain
+(:mod:`glow_tts_tpu.data.audio_io`): wav via scipy, flac via soundfile or
+the built-in pure-Python FLAC codec, m4a/compressed formats via
+soundfile → audioread → ffmpeg with a loud error when none exists.
 
 CLI (same flags as the reference):
   python -m glow_tts_tpu.data.pattern_generator -hp <config.yaml> \
@@ -46,34 +48,16 @@ TOP_DB = {'LJ': 60, 'BC2013': 60, 'VCTK': 15, 'VC1': 23, 'VC1T': 23,
 # ---------------------------------------------------------------------------
 
 def load_audio(path: str, sample_rate: int) -> np.ndarray:
-    """Decode and resample to ``sample_rate`` mono float32."""
-    ext = os.path.splitext(path)[1].upper()
-    if ext == '.WAV':
-        from scipy.io import wavfile
-        sr, data = wavfile.read(path)
-        if data.dtype.kind == 'i':
-            data = data.astype(np.float32) / np.iinfo(data.dtype).max
-        elif data.dtype.kind == 'u':
-            data = (data.astype(np.float32) - 128.0) / 128.0
-        else:
-            data = data.astype(np.float32)
-    else:
-        try:
-            import soundfile
-            data, sr = soundfile.read(path, dtype='float32')
-        except ImportError as error:
-            raise RuntimeError(
-                f'cannot decode {path}: non-wav formats need soundfile'
-            ) from error
-    if data.ndim > 1:
-        data = data.mean(axis=-1)
-    if sr != sample_rate:
-        from scipy.signal import resample_poly
-        from math import gcd
-        g = gcd(int(sample_rate), int(sr))
-        data = resample_poly(data, sample_rate // g, sr // g
-                             ).astype(np.float32)
-    return data.astype(np.float32)
+    """Decode and resample to ``sample_rate`` mono float32.
+
+    Delegates to :mod:`glow_tts_tpu.data.audio_io` — wav via scipy, flac
+    via soundfile or the built-in pure-Python codec, m4a/other compressed
+    formats via soundfile → audioread → ffmpeg with a loud actionable
+    error when no decoder exists (reference: librosa→audioread chain,
+    ``Audio.py:3-7``; VoxCeleb ships ``.m4a``,
+    ``Pattern_Generator.py:18``)."""
+    from glow_tts_tpu.data.audio_io import load_audio as _load
+    return _load(path, sample_rate)
 
 
 def audio_prep(path: str, sample_rate: int,

@@ -57,8 +57,21 @@ class Inferencer:
             raise FileNotFoundError(
                 f'no checkpoint found in {checkpoint_path}')
         self.state, self.step = restored
+        # Serving folds weight norm into the kernels ONCE at load
+        # (v ← g·v/‖v‖) instead of recomputing it per dispatch as torch
+        # ``weight_norm`` does (``Modules.py:766,818,825``); bit-identical
+        # outputs (tests/test_model.py::test_weight_norm_fold_parity).
+        import dataclasses
+        from glow_tts_tpu.models.layers import fold_weight_norm_params
+        from glow_tts_tpu.training.step import build_model
+        fold_config = dataclasses.replace(
+            config,
+            tpu=dataclasses.replace(config.tpu, fold_weight_norm=True))
+        self.state = self.state.replace(
+            params=fold_weight_norm_params(self.state.params))
         self.infer = jax.jit(make_inference_step(
-            config, self.model, max_mel_length=max_mel_length))
+            fold_config, build_model(fold_config),
+            max_mel_length=max_mel_length))
 
     def _dummy_train_batch(self) -> Dict:
         cfg = self.config

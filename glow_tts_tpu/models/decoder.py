@@ -189,37 +189,40 @@ class WaveNet(nn.Module):
         cfg = self.config.decoder.affine_coupling
         ch = cfg.calc_channels
         n = cfg.wavenet.num_layers
+        import functools
+        WN = functools.partial(WNConv1d,
+                               fold=self.config.tpu.fold_weight_norm)
         if return_params:
             dummy = jnp.zeros((1, 1, ch), x.dtype)
             packs = {key: [] for key in
                      ('w_in', 'b_in', 'w_rs', 'b_rs', 'w_spk', 'b_spk',
                       'w_pro', 'b_pro', 'w_pitch', 'b_pitch')}
             for i in range(n):
-                kin, bin_ = WNConv1d(2 * ch, cfg.wavenet.kernel_size,
+                kin, bin_ = WN(2 * ch, cfg.wavenet.kernel_size,
                                      dtype=self.dtype, name=f'in_{i}')(
                     dummy, return_params=True)
                 packs['w_in'].append(kin)
                 packs['b_in'].append(bin_)
                 if speaker is not None:
-                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                    kk, bb = WN(2 * ch, 1, dtype=self.dtype,
                                       name=f'speaker_{i}')(
                         speaker[:, None, :], return_params=True)
                     packs['w_spk'].append(kk[0])
                     packs['b_spk'].append(bb)
                 if prosody is not None:
-                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                    kk, bb = WN(2 * ch, 1, dtype=self.dtype,
                                       name=f'prosody_{i}')(
                         prosody[:, None, :], return_params=True)
                     packs['w_pro'].append(kk[0])
                     packs['b_pro'].append(bb)
                 if pitch is not None:
-                    kk, bb = WNConv1d(2 * ch, 1, dtype=self.dtype,
+                    kk, bb = WN(2 * ch, 1, dtype=self.dtype,
                                       name=f'pitch_{i}')(
                         pitch, return_params=True)
                     packs['w_pitch'].append(kk[0])
                     packs['b_pitch'].append(bb)
                 last = i == n - 1
-                krs, brs = WNConv1d(ch if last else 2 * ch, 1,
+                krs, brs = WN(ch if last else 2 * ch, 1,
                                     dtype=self.dtype,
                                     name=f'res_skip_{i}')(
                     dummy, return_params=True)
@@ -235,24 +238,24 @@ class WaveNet(nn.Module):
                     for key, vals in packs.items()}
         output = jnp.zeros_like(x)
         for i in range(n):
-            ins = WNConv1d(2 * ch, cfg.wavenet.kernel_size,
+            ins = WN(2 * ch, cfg.wavenet.kernel_size,
                            dtype=self.dtype, name=f'in_{i}')(x)
             ins = nn.Dropout(cfg.wavenet.dropout_rate)(
                 ins, deterministic=deterministic)
             if speaker is not None:
-                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                ins = ins + WN(2 * ch, 1, dtype=self.dtype,
                                      name=f'speaker_{i}')(
                     speaker[:, None, :].astype(ins.dtype))
             if prosody is not None:
-                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                ins = ins + WN(2 * ch, 1, dtype=self.dtype,
                                      name=f'prosody_{i}')(
                     prosody[:, None, :].astype(ins.dtype))
             if pitch is not None:
-                ins = ins + WNConv1d(2 * ch, 1, dtype=self.dtype,
+                ins = ins + WN(2 * ch, 1, dtype=self.dtype,
                                      name=f'pitch_{i}')(pitch)
             gate = jnp.tanh(ins[..., :ch]) * jax.nn.sigmoid(ins[..., ch:])
             last = i == n - 1
-            res_skip = WNConv1d(ch if last else 2 * ch, 1,
+            res_skip = WN(ch if last else 2 * ch, 1,
                                 dtype=self.dtype, name=f'res_skip_{i}')(gate)
             if last:
                 output = output + res_skip
@@ -275,6 +278,7 @@ class AffineCoupling(nn.Module):
         x_a, x_b = x[..., :c // 2], x[..., c // 2:]
 
         start_mod = WNConv1d(cfg.calc_channels, 1, dtype=self.dtype,
+                             fold=self.config.tpu.fold_weight_norm,
                              name='start')
         wavenet = WaveNet(self.config, self.dtype, name='wavenet')
         end_mod = Conv1d(c, 1, kernel_init=nn.initializers.zeros,

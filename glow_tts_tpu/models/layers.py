@@ -92,24 +92,33 @@ class WNConv1d(nn.Module):
     With ``return_params=True`` returns the effective (weight-normed)
     ``(kernel [k, in, out], bias)`` in fp32 instead of applying — the
     fused-coupling path feeds these to the Pallas kernel.
+
+    With ``fold=True`` (serving path) the module expects ``v`` to already
+    hold the effective kernel — apply :func:`fold_weight_norm_params` to a
+    trained checkpoint — and skips the per-dispatch normalisation
+    (``g`` no longer exists in the tree).
     """
     features: int
     kernel_size: int = 1
     use_bias: bool = True
     kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
     dtype: Optional[Dtype] = None
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, return_params: bool = False):
         kshape = (self.kernel_size, x.shape[-1], self.features)
         v = self.param('v', self.kernel_init, kshape)
-        # g initialised to ‖v‖ so the initial effective kernel equals v
-        g = self.param(
-            'g', lambda _: jnp.sqrt((v.astype(jnp.float32) ** 2)
-                                    .sum(axis=(0, 1))))
-        norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(
-            axis=(0, 1), keepdims=True))
-        kernel = (g[None, None, :] * v / jnp.maximum(norm, 1e-12))
+        if self.fold:
+            kernel = v
+        else:
+            # g initialised to ‖v‖ so the initial effective kernel equals v
+            g = self.param(
+                'g', lambda _: jnp.sqrt((v.astype(jnp.float32) ** 2)
+                                        .sum(axis=(0, 1))))
+            norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(
+                axis=(0, 1), keepdims=True))
+            kernel = (g[None, None, :] * v / jnp.maximum(norm, 1e-12))
         if return_params:
             bias = (self.param('b', nn.initializers.zeros, (self.features,))
                     if self.use_bias else None)
@@ -126,6 +135,30 @@ class WNConv1d(nn.Module):
             bias = self.param('b', nn.initializers.zeros, (self.features,))
             out = out + (bias.astype(self.dtype) if self.dtype else bias)
         return out
+
+
+def fold_weight_norm_params(params):
+    """Fold weight norm into the kernels of a trained parameter tree:
+    every ``{v, g}`` pair becomes ``{v: g·v/‖v‖}`` (the exact fp32
+    expression :class:`WNConv1d` evaluates per dispatch, so a ``fold=True``
+    model on the folded tree is **bit-identical** to the unfolded model on
+    the original tree).  The reference pays this recompute every call via
+    torch ``weight_norm``'s pre-forward hook (``Modules.py:766,818,825``).
+    """
+    if isinstance(params, dict):
+        if 'v' in params and 'g' in params:
+            v = params['v']
+            g = params['g']
+            norm = jnp.sqrt((v.astype(jnp.float32) ** 2).sum(
+                axis=(0, 1), keepdims=True))
+            folded = dict(params)
+            del folded['g']
+            folded['v'] = (g[None, None, :] * v
+                           / jnp.maximum(norm, 1e-12)).astype(v.dtype)
+            return folded
+        return {key: fold_weight_norm_params(val)
+                for key, val in params.items()}
+    return params
 
 
 class LayerNorm(nn.Module):

@@ -12,12 +12,22 @@ resolution.
 
 import os
 
-# The opt-in convergence regression (tests/test_convergence.py) trains for
-# real and must run on the TPU — invoke it ALONE with
-# GLOWTTS_RUN_CONVERGENCE=1 and the platform is left as the environment
-# provides (axon).  Every other pytest invocation gets the virtual CPU
-# mesh below.
-_keep_platform = os.environ.get('GLOWTTS_RUN_CONVERGENCE') == '1'
+# Opt-in suites that must run on the REAL TPU (platform left as the
+# environment provides, i.e. axon):
+#   GLOWTTS_RUN_CONVERGENCE=1 → tests/test_convergence.py (trains for real)
+#   GLOWTTS_RUN_DEVICE=1      → tests/test_device_parity.py (drives the
+#                               Pallas kernels on hardware)
+# Every other pytest invocation gets the virtual CPU mesh below.  A
+# collection-time guard (bottom of this file) errors out if the rest of
+# the suite is collected while one of these flags is set — the 8-device
+# mesh tests cannot run on the single axon chip.
+_DEVICE_ONLY_MODULES = {
+    'GLOWTTS_RUN_CONVERGENCE': 'test_convergence.py',
+    'GLOWTTS_RUN_DEVICE': 'test_device_parity.py',
+}
+_active_device_flags = [flag for flag in _DEVICE_ONLY_MODULES
+                        if os.environ.get(flag) == '1']
+_keep_platform = bool(_active_device_flags)
 
 flags = os.environ.get('XLA_FLAGS', '')
 if not _keep_platform and \
@@ -42,3 +52,20 @@ jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
 if not _keep_platform:
     assert jax.devices()[0].platform == 'cpu' and len(jax.devices()) == 8, (
         'tests require the 8-device virtual CPU platform')
+
+
+def pytest_collection_modifyitems(config, items):
+    """With a device flag set, refuse to run anything but that flag's own
+    module: the platform override above was skipped for the whole
+    process, so the CPU-mesh tests would all land on the single TPU."""
+    if not _keep_platform:
+        return
+    allowed = {_DEVICE_ONLY_MODULES[flag] for flag in _active_device_flags}
+    stray = sorted({os.path.basename(str(item.fspath)) for item in items}
+                   - allowed)
+    if stray:
+        import pytest
+        raise pytest.UsageError(
+            f'{"/".join(_active_device_flags)} is set: run only '
+            f'{sorted(allowed)} in this invocation (collected {stray}); '
+            f'the virtual CPU mesh override is disabled process-wide')

@@ -144,6 +144,47 @@ def test_reference_compat_keys_map_to_tpu_section():
     assert cfg.tpu.compute_dtype == 'bfloat16'
 
 
+def test_ge2e_batches_deterministic_across_threads():
+    """GE2E slice offsets must not depend on producer-thread scheduling:
+    the round-2 shared ``np.random.Generator`` both raced (numpy
+    Generators are not thread-safe) and made batches depend on the order
+    threads happened to collate them.  The per-batch content-derived
+    generator fixes both: the same batch always slices identically."""
+    import threading
+
+    cfg = tiny_config(mode='SE', **{
+        'Speaker_Embedding': {
+            'Type': 'GE2E', 'Num_Speakers': 4, 'Embedding_Size': 16,
+            'GE2E': {'LSTM': {'Sizes': 16, 'Stacks': 2},
+                     'Inference': {'Samples': 2, 'Slice_Length': 12,
+                                   'Overlap_Length': 4}}}})
+    collater = TrainCollater(cfg, Tokenizer(), seed=7)
+    items = _items(n=12, mel_dim=cfg.sound.mel_dim, seed=3)
+    batches = [items[:4], items[4:8], items[8:]]
+
+    reference = [collater(b)['mels_for_ge2e'] for b in batches]
+
+    # hammer the same collater from several threads, in scrambled orders
+    results = {}
+
+    def worker(order, out_key):
+        got = {}
+        for bi in order:
+            got[bi] = collater(batches[bi])['mels_for_ge2e']
+        results[out_key] = got
+
+    threads = [threading.Thread(target=worker,
+                                args=([2, 0, 1][k:] + [2, 0, 1][:k], k))
+               for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for got in results.values():
+        for bi, arr in got.items():
+            np.testing.assert_array_equal(arr, reference[bi])
+
+
 def test_loader_multi_worker_produces_all_batches():
     """Parallel producer threads must yield every batch exactly once and
     still surface producer exceptions (order may interleave)."""
