@@ -221,6 +221,124 @@ def main():
         if train_flops and peak:
             train_mfu = train_flops / train_sec / peak
 
+    # --- per-mode throughput: SE-LUT / SE-GE2E / PE / GR ------------------
+    # Reference capability is four modes (``Modules.py:22-48``); a perf
+    # regression in any conditioning encoder (GE2E LSTM, GST conv/GRU
+    # stack, pitch interpolation) must surface in BENCH_rN
+    # (GLOWTTS_BENCH_MODES=0 opts out).
+    modes = None
+    if os.environ.get('GLOWTTS_BENCH_MODES', '1') != '0':
+        from glow_tts_tpu.training.step import make_train_step
+        modes = {}
+        MODE_SPECS = [
+            ('SE_LUT', {'Mode': 'SE'}, True),
+            ('SE_GE2E', {'Mode': 'SE',
+                         'Speaker_Embedding': {'Type': 'GE2E'}}, False),
+            ('PE', {'Mode': 'PE'}, True),
+            ('GR', {'Mode': 'GR'}, True),
+        ]
+        t_mel_train = 768
+        for mode_name, overrides, bench_train in MODE_SPECS:
+            mcfg = load_config({
+                **overrides,
+                'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'}})
+            mb_init = dict(init_batch)
+            mb_infer = {
+                'tokens': batch['tokens'],
+                'token_lengths': batch['token_lengths'],
+                'length_scales': batch['length_scales'],
+            }
+            if mcfg.uses_speaker_embedding or mcfg.uses_gradient_reversal:
+                mb_init['speakers'] = (
+                    np.arange(BATCH, dtype=np.int32)
+                    % mcfg.speaker_embedding.num_speakers)
+                if mcfg.speaker_embedding.type.upper() == 'LUT':
+                    mb_infer['speakers'] = mb_init['speakers']
+                else:
+                    ge2e = mcfg.speaker_embedding.ge2e.inference
+                    ge2e_mels = rng.standard_normal(
+                        (BATCH * ge2e.samples, ge2e.slice_length,
+                         mcfg.sound.mel_dim)).astype(np.float32)
+                    mb_init['mels_for_ge2e'] = ge2e_mels
+                    mb_infer['mels_for_ge2e'] = ge2e_mels
+            if mcfg.uses_prosody_encoder:
+                mb_infer['mels_for_prosody'] = rng.standard_normal(
+                    (BATCH, 256, mcfg.sound.mel_dim)).astype(np.float32)
+                mb_infer['mel_lengths_for_prosody'] = np.full(
+                    (BATCH,), 256, np.int32)
+            if mcfg.uses_gradient_reversal:
+                mb_init['pitches'] = rng.random(
+                    (BATCH, mb_init['mels'].shape[1])).astype(np.float32)
+                mb_infer['pitches'] = rng.random(
+                    (BATCH, 256)).astype(np.float32)
+                mb_infer['pitch_lengths'] = np.full((BATCH,), 256, np.int32)
+
+            mmodel, mstate = create_train_state(
+                mcfg, jax.random.PRNGKey(0), mb_init)
+            minfer_fn = make_inference_step(mcfg, mmodel,
+                                            max_mel_length=MAX_MEL)
+            jbm = {k: jnp.asarray(v) for k, v in mb_infer.items()}
+
+            CHAIN_M = 5
+
+            @jax.jit
+            def chained_mode_infer(st, key0, _fn=minfer_fn, _jb=jbm):
+                def body(i, carry):
+                    frames, checksum = carry
+                    key = jax.random.fold_in(
+                        key0, i + (checksum.astype(jnp.int32) & 1))
+                    out = _fn(st, _jb, key)
+                    return (frames
+                            + out['mel_lengths'].sum().astype(jnp.float32),
+                            checksum
+                            + out['mels'].astype(jnp.float32).mean())
+                zero = jnp.zeros([], jnp.float32)
+                return jax.lax.fori_loop(0, CHAIN_M, body, (zero, zero))
+
+            total = chained_mode_infer(mstate, key)
+            jax.block_until_ready(total)
+            t0 = time.perf_counter()
+            total = chained_mode_infer(mstate, key)
+            jax.block_until_ready(total)
+            m_sec = (time.perf_counter() - t0) / CHAIN_M
+            m_fps = float(np.asarray(total[0])) / CHAIN_M / m_sec
+            entry = {'infer_frames_per_sec': round(m_fps, 1),
+                     'infer_sec_per_batch': round(m_sec, 5)}
+
+            if bench_train:
+                mb_train = dict(mb_init)
+                mb_train['mels'] = rng.standard_normal(
+                    (BATCH, t_mel_train, mcfg.sound.mel_dim)
+                ).astype(np.float32)
+                mb_train['mel_lengths'] = np.full(
+                    (BATCH,), t_mel_train // s * s, np.int32)
+                if 'pitches' in mb_train:
+                    mb_train['pitches'] = rng.random(
+                        (BATCH, t_mel_train)).astype(np.float32)
+                mtrain_fn = make_train_step(mcfg, mmodel)
+                jbt = {k: jnp.asarray(v) for k, v in mb_train.items()}
+                _, mshape = jax.eval_shape(mtrain_fn, mstate, jbt)
+                zero_m = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), mshape)
+
+                @jax.jit
+                def chained_mode_train(st, _fn=mtrain_fn, _jb=jbt,
+                                       _zm=zero_m):
+                    return jax.lax.fori_loop(
+                        0, CHAIN_M, lambda i, c: _fn(c[0], _jb),
+                        (st, _zm))
+
+                out_t = chained_mode_train(mstate)
+                jax.block_until_ready(out_t)
+                t0 = time.perf_counter()
+                out_t = chained_mode_train(out_t[0])
+                jax.block_until_ready(out_t)
+                entry['train_sec_per_step'] = round(
+                    (time.perf_counter() - t0) / CHAIN_M, 5)
+                entry['train_loss'] = round(
+                    float(np.asarray(out_t[1]['total'])), 4)
+            modes[mode_name] = entry
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  'BASELINE_MEASURED.json')
     vs_baseline = None
@@ -257,6 +375,7 @@ def main():
             'train_loss': train_loss,
             'train_flops_per_step': train_flops,
             'train_mfu': round(train_mfu, 4) if train_mfu else None,
+            'modes': modes,
         },
     }))
 

@@ -1,0 +1,249 @@
+"""SE-LUT conditioning-path convergence proof (real TPU).
+
+Round-2 gap (VERDICT #3b): no conditioned mode had ever been *trained* —
+speaker separation through the LUT path was parity-tested but unproven
+under real gradient dynamics.  This harness trains ``Mode: SE`` (LUT) on
+a two-speaker variant of the round-3 corpus and asserts, at convergence:
+
+* alignment locks (same criteria as the Vanilla harness);
+* the two speakers' synthesised mels **measurably differ**, and each
+  synthesised utterance is closer (channel-profile correlation) to its
+  own speaker's ground-truth rendering than to the other speaker's —
+  i.e. the 256-dim LUT embedding actually conditions every WaveNet layer
+  (``Modules.py:832-852``) and the duration predictor
+  (``Modules.py:602-612``), not just exists.
+
+Speaker 1 renders the same token templates through a fixed spectral warp
+(+8-bin roll, +0.8 tilt) — a caricature of vocal-tract differences; the
+corpus is otherwise identical, so any output difference is attributable
+to the conditioning path alone.
+
+Run: python benchmarks/convergence_se.py [--steps 6000]
+Writes benchmarks/convergence_se_results.json.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from convergence_run import (MAX_MEL, MAX_TOK, MEL_DIM,  # noqa: E402
+                             alignment_accuracy, make_corpus_v3, pad_corpus)
+
+NUM_SPEAKERS = 2
+
+
+def speaker_warp(mel: np.ndarray, speaker: int) -> np.ndarray:
+    """Fixed per-speaker spectral transform (identity for speaker 0)."""
+    if speaker == 0:
+        return mel
+    tilt = 0.8 * np.linspace(-1.0, 1.0, MEL_DIM, dtype=np.float32)
+    return np.clip(np.roll(mel, 8, axis=-1) + tilt, -4.0, 4.0)
+
+
+def make_two_speaker_corpus(rng, n=2048):
+    base = make_corpus_v3(rng, n=n)
+    for i, pattern in enumerate(base):
+        speaker = i % NUM_SPEAKERS
+        pattern['speaker'] = speaker
+        pattern['mel'] = speaker_warp(pattern['mel'], speaker)
+        # sigma pattern rolls with the spectrum so the noise statistics
+        # stay speaker-consistent
+        if speaker == 1:
+            pattern['sigma'] = np.roll(pattern['sigma'], 8, axis=-1)
+    return base
+
+
+def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
+    import jax
+    import jax.numpy as jnp
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), '.jax_cache'))
+    from glow_tts_tpu.config import load_config
+    from glow_tts_tpu.training.step import (create_train_state,
+                                            make_eval_step,
+                                            make_inference_step,
+                                            make_train_step)
+    from glow_tts_tpu.training.trainer import attention_diagonality
+
+    on_tpu = jax.devices()[0].platform == 'tpu'
+    cfg = load_config({
+        'Mode': 'SE',
+        'Speaker_Embedding': {'Type': 'LUT',
+                              'Num_Speakers': NUM_SPEAKERS,
+                              'Embedding_Size': 256},
+        'Train': {'Batch_Size': batch_size},
+        'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
+    })
+
+    rng = np.random.default_rng(seed)
+    corpus = make_two_speaker_corpus(rng)
+    data, true_durations, frame_token = pad_corpus(
+        corpus, cfg.decoder.num_squeeze)
+    data['speakers'] = np.array([p['speaker'] for p in corpus], np.int32)
+
+    init_batch = {k: v[:batch_size] for k, v in data.items()
+                  if k != 'noise_sigma'}
+    model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
+                                      init_batch)
+    train_fn = make_train_step(cfg, model)
+    eval_step = jax.jit(make_eval_step(cfg, model))
+    infer_step = jax.jit(make_inference_step(cfg, model,
+                                             max_mel_length=MAX_MEL + 128))
+
+    n = len(corpus)
+    data_dev = {k: jnp.asarray(v) for k, v in data.items()}
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def train_chunk(st, key):
+        def body(carry, i):
+            k = jax.random.fold_in(key, i)
+            idx = jax.random.randint(k, (batch_size,), 0, n)
+            batch = {name: jnp.take(v, idx, axis=0)
+                     for name, v in data_dev.items()}
+            sigma = batch.pop('noise_sigma')
+            batch['mels'] = jnp.clip(
+                batch['mels'] + sigma * jax.random.normal(
+                    jax.random.fold_in(k, 9999), batch['mels'].shape),
+                -4.0, 4.0)
+            new_st, metrics = train_fn(carry, batch)
+            return new_st, metrics['total']
+        return jax.lax.scan(body, st, jnp.arange(eval_every))
+
+    n_eval = min(n, 256)
+    history = []
+
+    def evaluate(step, st):
+        diags, accs, mles = [], [], []
+        for start in range(0, n_eval, batch_size):
+            idx = np.arange(start, min(start + batch_size, n_eval))
+            batch = {k: v[idx] for k, v in data.items()}
+            sig = batch.pop('noise_sigma')
+            ev_rng = np.random.default_rng(1234 + start)
+            batch['mels'] = np.clip(
+                batch['mels'] + sig * ev_rng.standard_normal(
+                    batch['mels'].shape).astype(np.float32), -4.0, 4.0)
+            loss_dict, outputs = eval_step(st, batch)
+            attn = np.asarray(outputs['attentions'], np.float32)
+            diags.append(attention_diagonality(
+                attn, batch['token_lengths'], batch['mel_lengths']))
+            accs.append(alignment_accuracy(
+                attn, frame_token[idx], batch['mel_lengths']))
+            mles.append(float(np.asarray(loss_dict['mle'])))
+        entry = {'step': step,
+                 'diagonality': round(float(np.mean(diags)), 4),
+                 'alignment_accuracy': round(float(np.mean(accs)), 4),
+                 'mle': round(float(np.mean(mles)), 4)}
+        history.append(entry)
+        if verbose:
+            print(json.dumps(entry), flush=True)
+        return entry
+
+    evaluate(0, state)
+    t0 = time.perf_counter()
+    step = 0
+    while step < steps:
+        state, losses = train_chunk(state, jax.random.fold_in(
+            jax.random.PRNGKey(seed + 1), step))
+        step += eval_every
+        jax.block_until_ready(losses)
+        evaluate(step, state)
+    train_wall = time.perf_counter() - t0
+
+    # --- speaker-separation check: same texts, both speakers ------------
+    test_idx = np.arange(64)
+    tokens = data['tokens'][test_idx]
+    token_lengths = data['token_lengths'][test_idx]
+    outs = {}
+    for speaker in range(NUM_SPEAKERS):
+        out = infer_step(state, {
+            'tokens': jnp.asarray(tokens),
+            'token_lengths': jnp.asarray(token_lengths),
+            'speakers': jnp.full((len(test_idx),), speaker, jnp.int32),
+        }, jax.random.PRNGKey(7))
+        outs[speaker] = (np.asarray(out['mels'], np.float32),
+                         np.asarray(out['mel_lengths']))
+
+    def channel_profile(mel, length):
+        return mel[:length].mean(axis=0)
+
+    # ground-truth channel profiles: render the same token strings per
+    # speaker from the corpus templates (clean, no noise)
+    clean = make_corpus_v3(np.random.default_rng(seed))  # same templates
+    gt_profiles = {}
+    for speaker in range(NUM_SPEAKERS):
+        profs = []
+        for i in test_idx:
+            mel = speaker_warp(clean[i]['mel'], speaker)
+            profs.append(mel.mean(axis=0))
+        gt_profiles[speaker] = np.stack(profs)
+
+    def corr(a, b):
+        a = a - a.mean()
+        b = b - b.mean()
+        return float((a * b).sum()
+                     / np.sqrt((a * a).sum() * (b * b).sum() + 1e-9))
+
+    correct = 0
+    separations = []
+    for i in range(len(test_idx)):
+        for speaker in range(NUM_SPEAKERS):
+            mel, length = outs[speaker][0][i], outs[speaker][1][i]
+            prof = channel_profile(mel, length)
+            sims = [corr(prof, gt_profiles[s][i])
+                    for s in range(NUM_SPEAKERS)]
+            if int(np.argmax(sims)) == speaker:
+                correct += 1
+        separations.append(float(np.abs(
+            channel_profile(outs[0][0][i], outs[0][1][i])
+            - channel_profile(outs[1][0][i], outs[1][1][i])).mean()))
+    speaker_id_accuracy = correct / (len(test_idx) * NUM_SPEAKERS)
+    mean_separation = float(np.mean(separations))
+
+    final = history[-1]
+    results = {
+        'mode': 'SE-LUT', 'num_speakers': NUM_SPEAKERS, 'steps': step,
+        'train_wall_sec': round(train_wall, 1),
+        'final_diagonality': final['diagonality'],
+        'final_alignment_accuracy': final['alignment_accuracy'],
+        'final_mle': final['mle'],
+        'speaker_id_accuracy': round(speaker_id_accuracy, 4),
+        'mean_channel_profile_separation': round(mean_separation, 4),
+        'device': str(jax.devices()[0]),
+        'history': history,
+    }
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--steps', type=int, default=6000)
+    parser.add_argument('--eval-every', type=int, default=500)
+    parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--out', default=None)
+    args = parser.parse_args()
+    results = run(steps=args.steps, eval_every=args.eval_every,
+                  batch_size=args.batch_size)
+    out_path = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'convergence_se_results.json')
+    with open(out_path, 'w') as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({k: v for k, v in results.items() if k != 'history'}))
+    ok = (results['speaker_id_accuracy'] >= 0.95
+          and results['mean_channel_profile_separation'] > 0.3
+          and results['final_alignment_accuracy'] > 0.90)
+    print('CONVERGED' if ok else 'NOT CONVERGED')
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == '__main__':
+    main()

@@ -33,8 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE = '/root/reference'
 
-from convergence_run import (MAX_TOK, make_corpus, pad_corpus,  # noqa: E402
-                             token_durations)
+from convergence_run import (CORPORA, MAX_TOK, alignment_accuracy,  # noqa: E402
+                             make_corpus, pad_corpus, token_durations)
 
 
 def load_reference_modules(workdir):
@@ -77,7 +77,7 @@ def load_reference_modules(workdir):
 
 
 def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
-        verbose=True):
+        verbose=True, corpus_name='v3'):
     import torch
     torch.set_num_threads(os.cpu_count() or 1)
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -88,12 +88,12 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
         '/tmp/ref_conv_workdir')
 
     rng = np.random.default_rng(seed)
-    corpus = make_corpus(rng)
+    corpus = CORPORA[corpus_name](rng)
     # same corpus, short-pattern subset for CPU viability
     keep = [i for i, p in enumerate(corpus)
             if len(p['tokens']) <= max_tokens]
     corpus = [corpus[i] for i in keep]
-    data, true_durations = pad_corpus(corpus, 2)
+    data, true_durations, frame_token = pad_corpus(corpus, 2)
     max_mel = int(data['mel_lengths'].max())
     max_mel = ((max_mel + 1) // 2) * 2
     data['mels'] = data['mels'][:, :max_mel]
@@ -138,7 +138,7 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
 
     def evaluate(step):
         model.eval()
-        diags, dur_errs, dur_losses, mles = [], [], [], []
+        diags, dur_errs, dur_losses, mles, accs = [], [], [], [], []
         with torch.no_grad():
             for start in range(0, n_eval, batch_size):
                 idx = np.arange(start, min(start + batch_size, n_eval))
@@ -152,6 +152,9 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
                 attn_np = attn.detach().numpy().astype(np.float32)
                 diags.append(attention_diagonality(
                     attn_np, data['token_lengths'][idx],
+                    data['mel_lengths'][idx]))
+                accs.append(alignment_accuracy(
+                    attn_np, frame_token[idx, :attn_np.shape[-1]],
                     data['mel_lengths'][idx]))
                 mas_dur = attn_np.sum(axis=-1)
                 mas_dur = np.pad(
@@ -167,6 +170,7 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
         model.train()
         entry = {'step': step,
                  'diagonality': round(float(np.mean(diags)), 4),
+                 'alignment_accuracy': round(float(np.mean(accs)), 4),
                  'mas_duration_abs_err': round(float(np.mean(dur_errs)), 4),
                  'duration_mse': round(float(np.mean(dur_losses)), 5),
                  'mle': round(float(np.mean(mles)), 4)}
@@ -201,9 +205,31 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
         if step % eval_every == 0:
             evaluate(step)
 
+    # free-running length prediction vs ground truth (duration head only —
+    # lengths depend on nothing else, ``Modules.py:168-175``)
+    model.eval()
+    ratios = []
+    with torch.no_grad():
+        for start in range(0, n_eval, batch_size):
+            idx = np.arange(start, min(start + batch_size, n_eval))
+            tl = int(data['token_lengths'][idx].max())
+            tokens = torch.from_numpy(data['tokens'][idx, :tl]
+                                      .astype(np.int64))
+            tlen = torch.from_numpy(data['token_lengths'][idx]
+                                    .astype(np.int64))
+            token_masks = model.Mask_Generate(tlen)
+            _, _, log_dur, mask = model.layer_Dict['Encoder'](
+                tokens, token_masks, None, None)
+            durations = torch.ceil(torch.exp(log_dur) * mask).squeeze(1)
+            pred = torch.clamp_min(durations.sum(dim=1), 1.0).numpy()
+            true = data['mel_lengths'][idx].astype(np.float64)
+            ratios.extend((pred / true).tolist())
+    free_run_err = float(np.abs(np.asarray(ratios) - 1.0).mean())
+
     results = {'steps': steps, 'batch_size': batch_size,
-               'max_tokens': max_tokens,
+               'max_tokens': max_tokens, 'corpus': corpus_name,
                'sec_per_step': round((time.perf_counter() - t0) / steps, 3),
+               'free_run_length_abs_rel_err': round(free_run_err, 4),
                'history': history}
     return results
 
@@ -214,9 +240,11 @@ def main():
     parser.add_argument('--eval-every', type=int, default=500)
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--max-tokens', type=int, default=24)
+    parser.add_argument('--corpus', default='v3', choices=sorted(CORPORA))
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
-                  batch_size=args.batch_size, max_tokens=args.max_tokens)
+                  batch_size=args.batch_size, max_tokens=args.max_tokens,
+                  corpus_name=args.corpus)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        'reference_convergence.json')
     with open(out, 'w') as f:

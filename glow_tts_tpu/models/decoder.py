@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from glow_tts_tpu.config import Config
-from glow_tts_tpu.models.layers import Conv1d, WNConv1d, masked
+from glow_tts_tpu.models.layers import (Conv1d, FastDropout,
+                                         WNConv1d, masked)
 
 
 def squeeze(x: jax.Array, mask: Optional[jax.Array],
@@ -240,7 +241,7 @@ class WaveNet(nn.Module):
         for i in range(n):
             ins = WN(2 * ch, cfg.wavenet.kernel_size,
                            dtype=self.dtype, name=f'in_{i}')(x)
-            ins = nn.Dropout(cfg.wavenet.dropout_rate)(
+            ins = FastDropout(cfg.wavenet.dropout_rate)(
                 ins, deterministic=deterministic)
             if speaker is not None:
                 ins = ins + WN(2 * ch, 1, dtype=self.dtype,

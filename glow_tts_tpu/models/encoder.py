@@ -29,7 +29,8 @@ from flax import linen as nn
 
 from glow_tts_tpu.config import Config
 from glow_tts_tpu.models.layers import (
-    Conv1d, LayerNorm, RelativePositionMultiHeadAttention, masked)
+    Conv1d, FastDropout, LayerNorm, RelativePositionMultiHeadAttention,
+    masked)
 
 
 class Prenet(nn.Module):
@@ -45,7 +46,7 @@ class Prenet(nn.Module):
                        dtype=self.dtype, name=f'conv_{i}')(masked(x, mask))
             x = LayerNorm(dtype=self.dtype, name=f'norm_{i}')(x)
             x = nn.relu(x)
-            x = nn.Dropout(cfg.prenet.dropout_rate)(
+            x = FastDropout(cfg.prenet.dropout_rate)(
                 x, deterministic=deterministic)
         x = Conv1d(cfg.channels, 1, dtype=self.dtype,
                    name='proj')(x) + residual
@@ -69,17 +70,17 @@ class TransformerBlock(nn.Module):
             dropout_rate=cfg.dropout_rate,
             dtype=self.dtype, name='attention',
         )(x, mask=attn_mask, deterministic=deterministic)
-        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
         x = LayerNorm(dtype=self.dtype, name='norm_0')(x + residual)
 
         residual = x
         x = Conv1d(cfg.conv.calc_channels, cfg.conv.kernel_size,
                    dtype=self.dtype, name='conv_0')(masked(x, mask))
         x = nn.relu(x)
-        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
         x = Conv1d(self.config.encoder.channels, cfg.conv.kernel_size,
                    dtype=self.dtype, name='conv_1')(masked(x, mask))
-        x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
         x = LayerNorm(dtype=self.dtype, name='norm_1')(masked(x, mask) + residual)
         return x
 
@@ -101,7 +102,7 @@ class DurationPredictor(nn.Module):
             x = Conv1d(cfg.channels, cfg.kernel_size, dtype=self.dtype,
                        name=f'conv_{i}')(masked(x, mask))
             x = nn.relu(x)
-            x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
+            x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
         x = Conv1d(1, 1, dtype=self.dtype, name='proj')(masked(x, mask))
         return masked(x, mask)                              # [B, T, 1]
 

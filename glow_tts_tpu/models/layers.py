@@ -137,6 +137,39 @@ class WNConv1d(nn.Module):
         return out
 
 
+class FastDropout(nn.Module):
+    """Dropout with the hardware RNG (``lax.rng_bit_generator``).
+
+    flax's ``nn.Dropout`` draws its mask through threefry — ~25 ALU ops
+    per element on the VPU, and XLA *recomputes* the whole counter chain
+    in the backward pass instead of storing the mask.  Profiled on the
+    v5e train step (batch 32 × 768 frames) the threefry chains accounted
+    for several ms/step, fused into the WaveNet conv epilogues and the
+    bias-gradient reductions.  ``RngBitGenerator`` emits the mask in one
+    hardware pass; the functional contract is unchanged (deterministic
+    given the 'dropout' rng, distinct per layer via flax's path folding
+    — only the stream of random bits differs, which dropout never
+    promises anything about).
+    """
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        key = self.make_rng('dropout')
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
+        rbg_key = jnp.tile(key.reshape(-1).astype(jnp.uint32), 2)[:4]
+        _, bits = jax.lax.rng_bit_generator(rbg_key, x.shape,
+                                            dtype=jnp.uint32)
+        keep_prob = 1.0 - self.rate
+        threshold = jnp.uint32(int(round(keep_prob * float(2 ** 32) - 1)))
+        keep = bits <= threshold
+        scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+        return jnp.where(keep, x * scale, jnp.zeros_like(x))
+
+
 def fold_weight_norm_params(params):
     """Fold weight norm into the kernels of a trained parameter tree:
     every ``{v, g}`` pair becomes ``{v: g·v/‖v‖}`` (the exact fp32
@@ -251,7 +284,7 @@ class RelativePositionMultiHeadAttention(nn.Module):
                                scores)
 
         alignments = jax.nn.softmax(scores, axis=-1)
-        alignments = nn.Dropout(self.dropout_rate)(
+        alignments = FastDropout(self.dropout_rate)(
             alignments, deterministic=deterministic)
         out = jnp.einsum('bhqk,bhkd->bhqd',
                          alignments.astype(v.dtype), v,

@@ -2,18 +2,23 @@
 
 The reference's de-facto correctness check is that training collapses MAS
 attention toward token boundaries (``/root/reference/Train.py:341-346``).
-On a synthetic corpus the absolute ceiling is a property of the *task*,
-not the framework: an exact-likelihood flow races the prior for every bit
-of locally-inferable structure (see ``benchmarks/convergence_run.py``),
-and the LIVE torch reference plateaus in the same diagonality band when
-trained on the identical corpus (``benchmarks/reference_convergence.py``,
-committed curve in ``benchmarks/reference_convergence.json``).
+Two layers of evidence here:
 
-The regression therefore asserts *reference-relative* dynamics: our
-trajectory must track or beat the reference's at matched steps, batch
-size and corpus subset.  Opt-in via ``GLOWTTS_RUN_CONVERGENCE=1`` (run on
-the real TPU; ~5 minutes).  The absolute 30k-step curve is committed in
-``benchmarks/convergence_results.json``.
+1. **Reference-relative twin** (default): our trajectory must track or
+   beat the LIVE torch reference's at matched steps, batch size and
+   corpus (``benchmarks/reference_convergence.py``; committed curve in
+   ``benchmarks/reference_convergence.json``) — including the
+   user-visible ``free_run_length_abs_rel_err`` (synthesised utterance
+   lengths), unasserted in round 2 (VERDICT #3c).
+2. **Absolute gate** (``GLOWTTS_RUN_CONVERGENCE_FULL=1``): the full
+   round-3 corpus run to ``--steps`` with the CONVERGED criteria of
+   ``benchmarks/convergence_run.py`` (alignment accuracy > 0.90,
+   diagonality within 0.02 of the perfect-path ceiling, free-run length
+   error < 5 %).
+
+Opt-in via ``GLOWTTS_RUN_CONVERGENCE=1``; run this file ALONE (the
+conftest guard enforces it) on the real TPU.  Twin ≈ 15 min; full adds
+~30 min.
 """
 
 import json
@@ -39,6 +44,7 @@ def test_alignment_dynamics_match_reference():
                   eval_every=ref['history'][1]['step'],
                   batch_size=ref['batch_size'],
                   max_tokens=ref['max_tokens'],
+                  corpus_name=ref.get('corpus', 'v2'),
                   verbose=False)
     ours = {h['step']: h for h in results['history']}
     for their in ref['history']:
@@ -47,6 +53,10 @@ def test_alignment_dynamics_match_reference():
             continue
         assert ours[step]['diagonality'] >= their['diagonality'] - 0.05, (
             step, ours[step], their)
+        if 'alignment_accuracy' in their:
+            assert (ours[step]['alignment_accuracy']
+                    >= their['alignment_accuracy'] - 0.05), (
+                step, ours[step], their)
     final_ours = results['history'][-1]
     final_ref = ref['history'][-1]
     assert (final_ours['mas_duration_abs_err']
@@ -54,3 +64,31 @@ def test_alignment_dynamics_match_reference():
         final_ours, final_ref)
     assert final_ours['duration_mse'] <= final_ref['duration_mse'] + 0.3, (
         final_ours, final_ref)
+    # the user-visible failure mode: synthesised utterance length
+    # (VERDICT r2 #3c — computed and committed in round 2, never asserted)
+    if 'free_run_length_abs_rel_err' in ref:
+        assert (results['free_run_length_abs_rel_err']
+                <= ref['free_run_length_abs_rel_err'] + 0.05), (
+            results['free_run_length_abs_rel_err'], ref)
+
+
+@pytest.mark.skipif(
+    os.environ.get('GLOWTTS_RUN_CONVERGENCE') != '1'
+    or os.environ.get('GLOWTTS_RUN_CONVERGENCE_FULL') != '1',
+    reason='very slow opt-in: set GLOWTTS_RUN_CONVERGENCE_FULL=1 too')
+def test_full_convergence_absolute_gate():
+    """The absolute claim on the round-3 corpus: alignment locks and
+    free-running synthesis lands within 5 % of true length."""
+    from benchmarks.convergence_run import run
+
+    steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '12000'))
+    results = run(steps=steps, eval_every=1000, batch_size=32,
+                  corpus_name='v3', verbose=True,
+                  state_file=os.environ.get('GLOWTTS_CONVERGENCE_STATE'))
+    final = results['history'][-1]
+    assert final['alignment_accuracy'] > 0.90, results
+    assert (results['final_diagonality']
+            > results['ideal_diagonality'] - 0.02), results
+    assert results['final_mas_duration_abs_err'] < 0.5, results
+    assert results['final_duration_mse'] < 0.05, results
+    assert results['free_run_length_abs_rel_err'] < 0.05, results

@@ -14,14 +14,21 @@ from glow_tts_tpu.training.step import (create_train_state, make_eval_step,
                                         make_train_step)
 from tests.helpers import synthetic_batch, tiny_config
 
+# The deterministic eval pin survives any dropout-stream change; it has
+# matched since round 1.
 GOLDEN_EVAL0 = {'duration': 0.569171, 'mle': 2.680661, 'total': 3.249831}
+# Train-step pins re-recorded in round 3 when dropout switched from
+# threefry to the hardware RNG (layers.FastDropout) — identical
+# functional semantics, different random bit stream, so the exact loss
+# trajectory legitimately moved (eval0 above did NOT, proving the
+# deterministic path is untouched).
 GOLDEN_STEPS = [
-    {'duration': 0.831983, 'mle': 2.860810, 'total': 3.692793,
-     'grad_norm': 17.009539},
-    {'duration': 0.639203, 'mle': 2.709382, 'total': 3.348585,
-     'grad_norm': 13.211501},
-    {'duration': 0.802122, 'mle': 2.487336, 'total': 3.289457,
-     'grad_norm': 9.945951},
+    {'duration': 0.748171, 'mle': 2.794080, 'total': 3.542251,
+     'grad_norm': 12.058844},
+    {'duration': 0.733768, 'mle': 2.297096, 'total': 3.030864,
+     'grad_norm': 8.349258},
+    {'duration': 0.831508, 'mle': 3.122199, 'total': 3.953707,
+     'grad_norm': 19.098808},
 ]
 
 
