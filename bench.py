@@ -188,8 +188,11 @@ def main():
         }
         # chain CHAIN steps through the carried state inside one jit so the
         # timing is device-side (per-dispatch tunnel latency amortised away)
-        # and XLA cannot overlap or hoist the iterations.
-        CHAIN = 10
+        # and XLA cannot overlap or hoist the iterations.  30 steps per
+        # dispatch: at 10 the ~35 ms tunnel dispatch still added ~3.5
+        # ms/step to the measurement (xplane while-loop wall agreed with
+        # the 30-chain figure, not the 10-chain one).
+        CHAIN = 30
         train_fn = make_train_step(cfg, model)
         jb_train = {k: jnp.asarray(v) for k, v in train_batch.items()}
         _, metrics_shape = jax.eval_shape(train_fn, state, jb_train)

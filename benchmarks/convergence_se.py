@@ -102,13 +102,15 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
     n = len(corpus)
     data_dev = {k: jnp.asarray(v) for k, v in data.items()}
 
+    # corpus as an argument, not a closure constant (the remote-compile
+    # relay 413s on programs with ~0.5 GB of baked-in corpus)
     @functools.partial(jax.jit, donate_argnums=0)
-    def train_chunk(st, key):
+    def train_chunk(st, key, corpus_dev):
         def body(carry, i):
             k = jax.random.fold_in(key, i)
             idx = jax.random.randint(k, (batch_size,), 0, n)
             batch = {name: jnp.take(v, idx, axis=0)
-                     for name, v in data_dev.items()}
+                     for name, v in corpus_dev.items()}
             sigma = batch.pop('noise_sigma')
             batch['mels'] = jnp.clip(
                 batch['mels'] + sigma * jax.random.normal(
@@ -152,7 +154,7 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
     step = 0
     while step < steps:
         state, losses = train_chunk(state, jax.random.fold_in(
-            jax.random.PRNGKey(seed + 1), step))
+            jax.random.PRNGKey(seed + 1), step), data_dev)
         step += eval_every
         jax.block_until_ready(losses)
         evaluate(step, state)

@@ -37,7 +37,7 @@ from convergence_run import (CORPORA, MAX_TOK, alignment_accuracy,  # noqa: E402
                              make_corpus, pad_corpus, token_durations)
 
 
-def load_reference_modules(workdir):
+def load_reference_modules(workdir, embedding_tokens=None):
     """Import the reference with a Vanilla/CPU hp (same bootstrap as the
     fidelity suite, ``tests/test_fidelity.py:26-60``)."""
     import torch
@@ -49,6 +49,8 @@ def load_reference_modules(workdir):
     hp['Use_Cython_Alignment'] = False
     hp['Use_Mixed_Precision'] = False
     hp['Device'] = '-1'
+    if embedding_tokens is not None:   # large-vocab corpora (v3x256)
+        hp['Encoder']['Embedding_Tokens'] = int(embedding_tokens)
     os.makedirs(workdir, exist_ok=True)
     with open(os.path.join(workdir, 'Hyper_Parameters.yaml'), 'w') as f:
         yaml.safe_dump(hp, f)
@@ -84,15 +86,17 @@ def run(steps=2000, eval_every=500, batch_size=16, max_tokens=24, seed=0,
         os.path.abspath(__file__))))
     from glow_tts_tpu.training.trainer import attention_diagonality
 
-    Modules, Radam, Noam_Scheduler = load_reference_modules(
-        '/tmp/ref_conv_workdir')
-
     rng = np.random.default_rng(seed)
     corpus = CORPORA[corpus_name](rng)
     # same corpus, short-pattern subset for CPU viability
     keep = [i for i, p in enumerate(corpus)
             if len(p['tokens']) <= max_tokens]
     corpus = [corpus[i] for i in keep]
+
+    Modules, Radam, Noam_Scheduler = load_reference_modules(
+        '/tmp/ref_conv_workdir',
+        embedding_tokens=max(
+            35, int(max(p['tokens'].max() for p in corpus)) + 1))
     data, true_durations, frame_token = pad_corpus(corpus, 2)
     max_mel = int(data['mel_lengths'].max())
     max_mel = ((max_mel + 1) // 2) * 2

@@ -1,0 +1,174 @@
+"""Opt-in REAL-TPU parity suite for the Pallas kernels (VERDICT r2 #5).
+
+Round 2 had no automated check that drives the hardware kernels:
+``tests/test_coupling_fused.py`` runs interpreter-mode on CPU, and the
+real-chip drive lived only in the manual ``benchmarks/verify_drive.py``.
+A Mosaic regression (lowering change, VMEM layout change, precision
+change) would have been invisible.  This file IS that check:
+
+    GLOWTTS_RUN_DEVICE=1 python -m pytest tests/test_device_parity.py -q
+
+Run it ALONE — the conftest guard enforces it (the platform override is
+disabled process-wide, so the CPU-mesh tests cannot share the
+invocation).  ~5 minutes warm.
+
+Covers, on the actual chip:
+* ``fused_flow_step`` (FlowStep 'fused' backend) forward + reverse vs the
+  flax/XLA oracle on shared params — bf16 (the only hardware dtype; the
+  f32 gate deliberately resolves to flax, and THAT resolution is asserted
+  here too so the gate can never silently rot);
+* the full 12-step FlowDecoder both directions;
+* ``maximum_path_pallas`` vs the scan and numpy oracles — bit-equality;
+* round-trip invertibility of the fused reverse against the flax forward.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+RUN = os.environ.get('GLOWTTS_RUN_DEVICE') == '1'
+pytestmark = pytest.mark.skipif(
+    not RUN, reason='real-TPU opt-in: set GLOWTTS_RUN_DEVICE=1')
+
+if RUN:
+    import jax
+    import jax.numpy as jnp
+
+    from glow_tts_tpu.config import load_config
+    from glow_tts_tpu.models import decoder as D
+
+
+def _on_tpu():
+    import jax
+    return jax.default_backend() == 'tpu'
+
+
+def _problem(seed=7, batch=8, t=96, channels=160):
+    rng = np.random.default_rng(seed)
+    lengths = jnp.asarray([t, t - 16, t - 32, t, t // 2, t, 12, t][:batch])
+    mask = (jnp.arange(t)[None, :, None]
+            < lengths[:, None, None]).astype(jnp.float32)
+    x = (jnp.asarray(rng.standard_normal((batch, t, channels))
+                     .astype(np.float32)).astype(jnp.bfloat16) * mask)
+    return rng, x, mask
+
+
+def _shared_params(module_cls, x, mask, rng):
+    cfg = load_config({'Mode': 'Vanilla',
+                       'TPU': {'coupling_backend': 'flax',
+                               'compute_dtype': 'bfloat16'}})
+    mod = module_cls(cfg, dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+    # perturb away from the zero-init end conv so the coupling is active
+    return jax.tree_util.tree_map(
+        lambda p: p + 0.02 * np.float32(rng.standard_normal(p.shape))
+        if p.ndim > 0 else p, params)
+
+
+def _build(module_cls, backend):
+    cfg = load_config({'Mode': 'Vanilla',
+                       'TPU': {'coupling_backend': backend,
+                               'compute_dtype': 'bfloat16'}})
+    return module_cls(cfg, dtype=jnp.bfloat16)
+
+
+@pytest.mark.parametrize('module_name,tol', [('FlowStep', 0.01),
+                                             ('FlowDecoder', 0.04)])
+@pytest.mark.parametrize('reverse', [False, True])
+def test_fused_matches_flax_on_device(module_name, tol, reverse):
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    module_cls = getattr(D, module_name)
+    rng, x, mask = _problem()
+    params = _shared_params(module_cls, x, mask, rng)
+    outs = {}
+    for backend in ('flax', 'fused'):
+        mod = _build(module_cls, backend)
+        res = jax.jit(mod.apply, static_argnames=('reverse',))(
+            params, x, mask, reverse=reverse)
+        z, ld = res[0], res[1]
+        outs[backend] = (np.asarray(z, np.float32),
+                         None if ld is None
+                         else np.asarray(ld, np.float32))
+    dz = np.max(np.abs(outs['fused'][0] - outs['flax'][0]))
+    scale = np.max(np.abs(outs['flax'][0]))
+    assert dz / scale < tol, (module_name, reverse, dz / scale)
+    if outs['flax'][1] is not None and np.ndim(outs['flax'][1]) > 0 \
+            and not reverse:
+        dld = np.max(np.abs(outs['fused'][1] - outs['flax'][1])
+                     / np.maximum(np.abs(outs['flax'][1]), 1.0))
+        assert dld < tol, (module_name, reverse, dld)
+
+
+def test_fused_reverse_inverts_flax_forward_on_device():
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    rng, x, mask = _problem(seed=11)
+    params = _shared_params(D.FlowDecoder, x, mask, rng)
+    fused = _build(D.FlowDecoder, 'fused')
+    flax_dec = _build(D.FlowDecoder, 'flax')
+    z, _, _ = jax.jit(flax_dec.apply)(params, x, mask)
+    back, _, _ = jax.jit(fused.apply, static_argnames=('reverse',))(
+        params, z, mask, reverse=True)
+    err = np.max(np.abs(np.asarray(back, np.float32)
+                        - np.asarray(x, np.float32)))
+    assert err < 0.15, err        # bf16 through 24 passes of exp-affine
+
+
+def test_f32_gate_resolves_to_flax():
+    """The fused kernel is bf16-hardware-only (Mosaic lowers f32 dots to a
+    single bf16 MXU pass, ~2.7e-1 err).  At f32 the 'fused' backend MUST
+    produce the flax path's exact output — asserting the gate itself."""
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    rng = np.random.default_rng(3)
+    B, T = 4, 64
+    mask = jnp.ones((B, T, 1), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((B, T, 160)), jnp.float32)
+    outs = {}
+    for backend in ('flax', 'fused'):
+        cfg = load_config({'Mode': 'Vanilla',
+                           'TPU': {'coupling_backend': backend,
+                                   'compute_dtype': 'float32'}})
+        mod = D.FlowStep(cfg, dtype=None)
+        params = mod.init(jax.random.PRNGKey(0), x, mask)
+        if backend == 'flax':
+            shared = params
+        z, _ = jax.jit(mod.apply)(shared, x, mask)
+        outs[backend] = np.asarray(z)
+    np.testing.assert_array_equal(outs['fused'], outs['flax'])
+
+
+def test_mas_pallas_bit_equal_on_device():
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    from glow_tts_tpu.ops.mas import maximum_path
+    rng = np.random.default_rng(0)
+    log_p = jnp.asarray(rng.standard_normal((8, 40, 256)), jnp.float32)
+    tok = jnp.asarray([40, 32, 17, 40, 5, 40, 2, 26])
+    mel = jnp.asarray([256, 200, 100, 256, 30, 64, 8, 200])
+    paths = {b: np.asarray(maximum_path(log_p, tok, mel, backend=b))
+             for b in ('pallas', 'scan', 'numpy')}
+    np.testing.assert_array_equal(paths['pallas'], paths['scan'])
+    np.testing.assert_array_equal(paths['pallas'], paths['numpy'])
+    np.testing.assert_array_equal(paths['pallas'].sum(axis=(1, 2)),
+                                  np.asarray(mel))
+
+
+def test_fast_dropout_statistics_on_device():
+    """The hardware-RNG dropout must drop ≈rate of elements and scale the
+    rest — statistics, not stream, are the contract."""
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    from glow_tts_tpu.models.layers import FastDropout
+    x = jnp.ones((256, 1024), jnp.bfloat16)
+    mod = FastDropout(0.1)
+    y = jax.jit(lambda k: mod.apply(
+        {}, x, deterministic=False, rngs={'dropout': k}))(
+        jax.random.PRNGKey(5))
+    y = np.asarray(y, np.float32)
+    drop_frac = float((y == 0).mean())
+    kept = y[y != 0]
+    assert abs(drop_frac - 0.1) < 0.01, drop_frac
+    np.testing.assert_allclose(kept, 1.0 / 0.9, rtol=1e-2)
