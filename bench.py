@@ -103,7 +103,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(ITERS):
         outs.append(infer(state, batch, jax.random.fold_in(key, i)))
-    jax.block_until_ready(outs)
+    # device-ordered scalar readback: dispatches after every queued op and
+    # cannot complete early (block_until_ready alone has been observed to
+    # signal early through the axon tunnel — CLAUDE.md timing traps)
+    float(jnp.sum(outs[-1]['mels']))
     pipelined = (time.perf_counter() - t0) / ITERS
     frames_per_sec = frames / pipelined
 
@@ -112,7 +115,7 @@ def main():
     for i in range(ITERS):
         t0 = time.perf_counter()
         out = infer(state, batch, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        float(jnp.sum(out['mels']))
         times.append(time.perf_counter() - t0)
     latency = min(times)
     audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
@@ -135,7 +138,7 @@ def main():
         t0 = time.perf_counter()
         for i in range(ITERS):
             outs.append(infer_fast(state, batch, jax.random.fold_in(key, i)))
-        jax.block_until_ready(outs)
+        float(jnp.sum(outs[-1]['mels']))        # ordered scalar readback
         fast_fps = frames / ((time.perf_counter() - t0) / ITERS)
 
     # --- device-side inference time (excludes host/tunnel dispatch) -------
@@ -145,6 +148,7 @@ def main():
     # the extra compile is a concern.
     device_sec = device_fps = None
     if os.environ.get('GLOWTTS_BENCH_DEVICE', '1') != '0':
+        CHAIN_DEV = 30           # 10 left ~3.5 ms/step of tunnel dispatch
         infer_fn = make_inference_step(cfg, model, max_mel_length=MAX_MEL)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -162,15 +166,15 @@ def main():
                 return (frames + out['mel_lengths'].sum().astype(jnp.float32),
                         checksum + out['mels'].astype(jnp.float32).mean())
             zero = jnp.zeros([], jnp.float32)
-            return jax.lax.fori_loop(0, 10, body, (zero, zero))
+            return jax.lax.fori_loop(0, CHAIN_DEV, body, (zero, zero))
 
         total = chained_inference(state, key)
         jax.block_until_ready(total)
         t0 = time.perf_counter()
         total = chained_inference(state, key)
-        jax.block_until_ready(total)
-        device_sec = (time.perf_counter() - t0) / 10
-        device_fps = (float(np.asarray(total[0])) / 10) / device_sec
+        frames_total = float(np.asarray(total[0]))   # readback in region
+        device_sec = (time.perf_counter() - t0) / CHAIN_DEV
+        device_fps = (frames_total / CHAIN_DEV) / device_sec
 
     # --- training throughput + MFU (default-on; GLOWTTS_BENCH_TRAIN=0
     # opts out) -------------------------------------------------------------
@@ -188,11 +192,12 @@ def main():
         }
         # chain CHAIN steps through the carried state inside one jit so the
         # timing is device-side (per-dispatch tunnel latency amortised away)
-        # and XLA cannot overlap or hoist the iterations.  30 steps per
-        # dispatch: at 10 the ~35 ms tunnel dispatch still added ~3.5
-        # ms/step to the measurement (xplane while-loop wall agreed with
-        # the 30-chain figure, not the 10-chain one).
-        CHAIN = 30
+        # and XLA cannot overlap or hoist the iterations.  100 steps per
+        # dispatch: the ~35 ms tunnel dispatch adds 3.5 ms/step at 10 and
+        # 1.2 at 30; at 100 it is ~0.35 ms/step, and the figure matches
+        # the xplane while-loop wall (23.4 ms/step, round 3) and the
+        # 30-vs-120-chain slope (23.5) to within 2 %.
+        CHAIN = 100
         train_fn = make_train_step(cfg, model)
         jb_train = {k: jnp.asarray(v) for k, v in train_batch.items()}
         _, metrics_shape = jax.eval_shape(train_fn, state, jb_train)
@@ -214,10 +219,16 @@ def main():
         out = compiled(state)                    # warm (reuses the lowering)
         jax.block_until_ready(out)
         train_frames = int(train_batch['mel_lengths'].sum())
-        t0 = time.perf_counter()
-        out = compiled(out[0])
-        jax.block_until_ready(out)
-        train_sec = (time.perf_counter() - t0) / CHAIN
+        # best-of-2 with a scalar loss readback inside the timed region
+        # (readback cannot complete before the device does — guards
+        # against the axon early-readiness trap, CLAUDE.md)
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = compiled(out[0])
+            float(np.asarray(out[1]['total']))
+            times.append(time.perf_counter() - t0)
+        train_sec = min(times) / CHAIN
         train_fps = train_frames / train_sec
         train_loss = round(float(np.asarray(out[1]['total'])), 4)
         peak = _peak_flops(jax.devices()[0])
@@ -282,7 +293,7 @@ def main():
                                             max_mel_length=MAX_MEL)
             jbm = {k: jnp.asarray(v) for k, v in mb_infer.items()}
 
-            CHAIN_M = 5
+            CHAIN_M = 15         # 5 left ~7 ms/step of tunnel dispatch
 
             @jax.jit
             def chained_mode_infer(st, key0, _fn=minfer_fn, _jb=jbm):
@@ -302,9 +313,9 @@ def main():
             jax.block_until_ready(total)
             t0 = time.perf_counter()
             total = chained_mode_infer(mstate, key)
-            jax.block_until_ready(total)
+            m_frames = float(np.asarray(total[0]))  # readback in region
             m_sec = (time.perf_counter() - t0) / CHAIN_M
-            m_fps = float(np.asarray(total[0])) / CHAIN_M / m_sec
+            m_fps = m_frames / CHAIN_M / m_sec
             entry = {'infer_frames_per_sec': round(m_fps, 1),
                      'infer_sec_per_batch': round(m_sec, 5)}
 
@@ -335,11 +346,10 @@ def main():
                 jax.block_until_ready(out_t)
                 t0 = time.perf_counter()
                 out_t = chained_mode_train(out_t[0])
-                jax.block_until_ready(out_t)
+                m_loss = float(np.asarray(out_t[1]['total']))
                 entry['train_sec_per_step'] = round(
                     (time.perf_counter() - t0) / CHAIN_M, 5)
-                entry['train_loss'] = round(
-                    float(np.asarray(out_t[1]['total'])), 4)
+                entry['train_loss'] = round(m_loss, 4)
             modes[mode_name] = entry
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -261,6 +261,58 @@ def make_corpus_v4(rng, n=2048, vocab=256):
     return patterns
 
 
+def make_corpus_v5(rng, n=2048, vocab=256):
+    """Round-3 corpus, fifth design: cut EVERY local-whitening route.
+
+    Post-mortem of v2..v4 (measured, see each docstring): the flow
+    whitens token-conditional structure through three local routes —
+    (a) TEMPORAL neighbour-copying: smooth/constant-within-token signals
+        are predictable from adjacent frames (killed v2/v3 envelopes);
+    (b) CROSS-CHANNEL smoothness: a channel-smooth envelope or sigma
+        pattern is predictable from the coupling's other channel half
+        (killed v4: sigma smoothed over channels, width 1.5);
+    (c) LOCAL SIGMA ESTIMATION: with 3..14 frames per token the flow
+        estimates sigma[t, c] from the ~6 same-token samples in view at
+        a ~1/(2n) nats/dim penalty it happily pays (v4 diagnostic:
+        across-token E[z^2] contrast squeezed to 5 %, prior log_std
+        corr with truth 0.006).
+
+    v5 closes all three at once:
+    * token content = per-(token, channel) **iid** signature (route b
+      cut) + per-(token, channel) **iid** log-uniform sigma in
+      [0.1, 1.2] (route b cut for sigma too);
+    * durations in {2, 4, 6} (token-conditioned, so the duration signal
+      survives): a token spans 1-3 squeezed frames, so temporal
+      neighbours are mostly OTHER tokens (route a cut) and a local
+      sigma estimate has n<=6 single-channel samples (route c priced at
+      >=1/12 nats/dim vs the prior's exact lookup);
+    * vocabulary 256: the only remaining whitening route is an implicit
+      256-way classifier inside the coupling stack, while the prior
+      (``Modules.py:272``: per-token mean + log_std heads) learns the
+      same mapping by direct lookup — the likelihood race real speech
+      alignment wins, distilled.
+    """
+    durs = 2 + 2 * ((np.arange(vocab) * 7) % 3)          # {2, 4, 6}
+    signatures = rng.normal(0.0, 1.0, (vocab, MEL_DIM))
+    log_lo, log_hi = np.log(0.1), np.log(1.2)
+    sigma_patterns = np.exp(
+        rng.uniform(log_lo, log_hi, (vocab, MEL_DIM)))
+    background = -0.5
+
+    patterns = []
+    for _ in range(n):
+        length = int(rng.integers(12, 36))
+        tokens = rng.integers(2, 2 + vocab - 1, length).astype(np.int32)
+        reps = durs[tokens - 2].astype(np.int64)
+        mel = background + np.repeat(signatures[tokens - 2], reps, axis=0)
+        sigma = np.repeat(sigma_patterns[tokens - 2], reps, axis=0)
+        patterns.append({'tokens': tokens,
+                         'mel': np.clip(mel, -4.0, 4.0).astype(np.float32),
+                         'sigma': sigma.astype(np.float32),
+                         'true_durations': durs[tokens - 2]})
+    return patterns
+
+
 # 'v3x256': the large-vocabulary variant of v3.  The flow can only whiten
 # token-conditional structure by IMPLICITLY CLASSIFYING tokens inside its
 # receptive field; the prior learns the same structure by direct per-token
@@ -269,7 +321,7 @@ def make_corpus_v4(rng, n=2048, vocab=256):
 # classification.  v4 (temporally-white carrier) is the corpus that locks.
 CORPORA = {'v2': make_corpus, 'v3': make_corpus_v3,
            'v3x256': lambda rng, n=2048: make_corpus_v3(rng, n, vocab=256),
-           'v4': make_corpus_v4}
+           'v4': make_corpus_v4, 'v5': make_corpus_v5}
 
 
 def pad_corpus(patterns, num_squeeze):

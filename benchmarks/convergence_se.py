@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from convergence_run import (MAX_MEL, MAX_TOK, MEL_DIM,  # noqa: E402
-                             alignment_accuracy, make_corpus_v3, pad_corpus)
+                             alignment_accuracy, make_corpus_v5, pad_corpus)
 
 NUM_SPEAKERS = 2
 
@@ -49,7 +49,7 @@ def speaker_warp(mel: np.ndarray, speaker: int) -> np.ndarray:
 
 
 def make_two_speaker_corpus(rng, n=2048):
-    base = make_corpus_v3(rng, n=n)
+    base = make_corpus_v5(rng, n=n)
     for i, pattern in enumerate(base):
         speaker = i % NUM_SPEAKERS
         pattern['speaker'] = speaker
@@ -74,18 +74,21 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
                                             make_train_step)
     from glow_tts_tpu.training.trainer import attention_diagonality
 
+    rng = np.random.default_rng(seed)
+    corpus = make_two_speaker_corpus(rng)
+
     on_tpu = jax.devices()[0].platform == 'tpu'
+    embedding_tokens = max(
+        35, int(max(p['tokens'].max() for p in corpus)) + 1)
     cfg = load_config({
         'Mode': 'SE',
+        'Encoder': {'Embedding_Tokens': embedding_tokens},
         'Speaker_Embedding': {'Type': 'LUT',
                               'Num_Speakers': NUM_SPEAKERS,
                               'Embedding_Size': 256},
         'Train': {'Batch_Size': batch_size},
         'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
     })
-
-    rng = np.random.default_rng(seed)
-    corpus = make_two_speaker_corpus(rng)
     data, true_durations, frame_token = pad_corpus(
         corpus, cfg.decoder.num_squeeze)
     data['speakers'] = np.array([p['speaker'] for p in corpus], np.int32)
@@ -179,7 +182,7 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
 
     # ground-truth channel profiles: render the same token strings per
     # speaker from the corpus templates (clean, no noise)
-    clean = make_corpus_v3(np.random.default_rng(seed))  # same templates
+    clean = make_corpus_v5(np.random.default_rng(seed))  # same templates
     gt_profiles = {}
     for speaker in range(NUM_SPEAKERS):
         profs = []

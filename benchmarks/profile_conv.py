@@ -22,7 +22,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 B, T, CIN, COUT, K = 32, 384, 192, 384, 5
-ITERS = 50
+# two chain lengths; report the SLOPE (t_long - t_short)/(n_long - n_short)
+# so the ~35 ms tunnel dispatch and any early-readiness slack cancel out
+# (CLAUDE.md: never trust a single small-dispatch axon timing)
+ITERS_SHORT, ITERS_LONG = 200, 1000
 
 
 def main():
@@ -62,37 +65,55 @@ def main():
     peak = 197e12
 
     def timed(fn, grad=False):
+        # DCE traps (measured: >100 % implied MXU before these fixes):
+        # a y[..., :CIN] carry-slice lets XLA narrow the conv to half the
+        # output channels, and a LINEAR loss makes the whole backward
+        # pass constant-foldable (dy = ones).  Fold ALL outputs into the
+        # carry and use a quadratic loss so dy depends on x and dw on y.
         if grad:
             base = fn
 
             def loss(x, w):
-                return base(x, w).astype(jnp.float32).sum()
+                y = base(x, w).astype(jnp.float32)
+                return (y * y).sum() * 0.5
             g = jax.grad(loss, argnums=(0, 1))
 
-            def step(x, w):
-                dx, dw = g(x, w)
-                return dx.astype(x.dtype), dw
-
-            @jax.jit
-            def chained(x0, w):
-                def body(i, carry):
-                    dx, _ = step(carry, w)
-                    return (carry * 0.999 + dx * 1e-3).astype(carry.dtype)
-                return jax.lax.fori_loop(0, ITERS, body, x0)
+            def make_chain(iters):
+                @jax.jit
+                def chained(x0, w):
+                    def body(i, carry):
+                        dx, dw = g(carry, w)
+                        return (carry * 0.999 + dx.astype(carry.dtype) * 1e-3
+                                + dw.astype(jnp.float32)
+                                .sum(axis=(0, 2))[None, None, :]
+                                .astype(carry.dtype) * 1e-6)
+                    out = jax.lax.fori_loop(0, iters, body, x0)
+                    return out.astype(jnp.float32).sum()
+                return chained
         else:
-            @jax.jit
-            def chained(x0, w):
-                def body(i, carry):
-                    y = fn(carry, w)
-                    return (carry * 0.999
-                            + y[..., :CIN] * 1e-3).astype(carry.dtype)
-                return jax.lax.fori_loop(0, ITERS, body, x0)
-        out = chained(x, w)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        out = chained(x, w)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / ITERS
+            def make_chain(iters):
+                @jax.jit
+                def chained(x0, w):
+                    def body(i, carry):
+                        y = fn(carry, w)
+                        folded = y.reshape(B, T, COUT // CIN, CIN) \
+                            .astype(jnp.float32).sum(axis=2)
+                        return (carry * 0.999
+                                + folded.astype(carry.dtype) * 1e-3)
+                    out = jax.lax.fori_loop(0, iters, body, x0)
+                    return out.astype(jnp.float32).sum()
+                return chained
+
+        def run_once(chain):
+            t0 = time.perf_counter()
+            float(chain(x, w))          # scalar host readback: cannot
+            return time.perf_counter() - t0  # complete before the device
+
+        short, long_ = make_chain(ITERS_SHORT), make_chain(ITERS_LONG)
+        run_once(short), run_once(long_)                 # compile
+        ts = min(run_once(short) for _ in range(3))
+        tl = min(run_once(long_) for _ in range(3))
+        return (tl - ts) / (ITERS_LONG - ITERS_SHORT)
 
     print(f'# shape [{B},{T},{CIN}]→{COUT} k{K} bf16; '
           f'fwd ideal {flops_fwd / peak * 1e6:.1f} µs')

@@ -82,8 +82,9 @@ def test_full_convergence_absolute_gate():
     from benchmarks.convergence_run import run
 
     steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '12000'))
+    corpus = os.environ.get('GLOWTTS_CONVERGENCE_CORPUS', 'v5')
     results = run(steps=steps, eval_every=1000, batch_size=32,
-                  corpus_name='v3', verbose=True,
+                  corpus_name=corpus, verbose=True,
                   state_file=os.environ.get('GLOWTTS_CONVERGENCE_STATE'))
     final = results['history'][-1]
     assert final['alignment_accuracy'] > 0.90, results
