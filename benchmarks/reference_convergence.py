@@ -245,12 +245,13 @@ def main():
     parser.add_argument('--batch-size', type=int, default=16)
     parser.add_argument('--max-tokens', type=int, default=24)
     parser.add_argument('--corpus', default='v3', choices=sorted(CORPORA))
+    parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
                   batch_size=args.batch_size, max_tokens=args.max_tokens,
                   corpus_name=args.corpus)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'reference_convergence.json')
+    out = args.out or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   'reference_convergence.json')
     with open(out, 'w') as f:
         json.dump(results, f, indent=1)
     print(json.dumps({k: v for k, v in results.items() if k != 'history'}))
