@@ -423,7 +423,15 @@ CORPORA = {'v2': make_corpus, 'v3': make_corpus_v3,
            'v7': lambda rng, n=2048: make_corpus_v6(
                rng, n, vocab=1024, word_lo=2, word_hi=5,
                env_base=-1.0, env_gain=3.5,
-               space_level=-4.0, space_sigma=0.02)}
+               space_level=-4.0, space_sigma=0.02),
+           # the capacity-overload regime (real speech's): 16384 distinct
+           # templates (1.3M values) exceed what the coupling stack can
+           # memorise while the prior still gets ~10 occurrences/token
+           # from 8192 patterns — corpus statistical complexity above
+           # flow capacity is what keeps the alignment reward alive on
+           # real data (docs/CONVERGENCE.md).
+           'v6big': lambda rng, n=8192: make_corpus_v6(rng, n,
+                                                       vocab=16384)}
 
 
 def pad_corpus(patterns, num_squeeze):
