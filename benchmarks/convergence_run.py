@@ -431,7 +431,21 @@ CORPORA = {'v2': make_corpus, 'v3': make_corpus_v3,
            # flow capacity is what keeps the alignment reward alive on
            # real data (docs/CONVERGENCE.md).
            'v6big': lambda rng, n=8192: make_corpus_v6(rng, n,
-                                                       vocab=16384)}
+                                                       vocab=16384),
+           # v8 = v7's EM-lockable geometry (short words, extreme silence
+           # anchors — measured: the curriculum locks v7 to acc 0.68 in
+           # the frozen-decoder phase) × the capacity-overload carrier at
+           # a COVERAGE-FEASIBLE vocabulary: 4096 iid templates at ~40
+           # occurrences/token from 8192 patterns.  v6big showed the two
+           # requirements fight: 16384 tokens × 10 occ is too sparse for
+           # the prior to lock at all; v7's 1024 × 80 locks but the flow
+           # then whitens the whole corpus (MLE 0.18) and the released
+           # race erases the lock.  4096 × 40 sits in the window where
+           # the prior locks AND the flow cannot memorise the templates.
+           'v8': lambda rng, n=8192: make_corpus_v6(
+               rng, n, vocab=4096, word_lo=2, word_hi=5,
+               env_base=-1.0, env_gain=3.5,
+               space_level=-4.0, space_sigma=0.02)}
 
 
 def pad_corpus(patterns, num_squeeze):
@@ -493,7 +507,8 @@ def ideal_diagonality(true_durations, token_lengths, mel_lengths):
 
 
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
-        state_file=None, max_tokens=None, corpus_name='v3'):
+        state_file=None, max_tokens=None, corpus_name='v3',
+        warmup_steps=0, freeze_steps=0):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -540,7 +555,20 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         if verbose:
             print(f'# resumed from {state_file} at step {start_step}',
                   flush=True)
-    train_fn = make_train_step(cfg, model)
+    # alignment curriculum (train.alignment_warmup_steps /
+    # train.decoder_freeze_steps in the real trainer): linear path and/or
+    # frozen decoder for the first chunks, then release to full MAS
+    # training.  Rounded to eval_every boundaries (chunk granularity).
+    step_fns = {}
+
+    def step_fn_for(step_idx):
+        key = (step_idx < warmup_steps, step_idx < freeze_steps)
+        if key not in step_fns:
+            step_fns[key] = make_train_step(
+                cfg, model, linear_alignment=key[0], freeze_decoder=key[1])
+        return step_fns[key]
+
+    train_fn = step_fn_for(steps)         # the plain variant always exists
     eval_step = jax.jit(make_eval_step(cfg, model))
     infer_step = jax.jit(make_inference_step(cfg, model,
                                              max_mel_length=MAX_MEL + 128))
@@ -560,26 +588,36 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     # rejects >~0.5 GB programs (HTTP 413) — the v3 per-channel sigma grew
     # the corpus past that.  As arguments they are device buffers the
     # program only references.
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_chunk(st, key, corpus_dev):
-        def body(carry, i):
-            k = jax.random.fold_in(key, i)
-            idx = jax.random.randint(k, (batch_size,), 0, n)
-            batch = {name: jnp.take(v, idx, axis=0)
-                     for name, v in corpus_dev.items()}
-            # fresh per-frame noise per step, amplitude set by the token
-            # occupying the frame (token_sigmas): blocks memorisation of
-            # an identical-every-epoch corpus AND carries the alignment
-            # signal that survives flow whitening — the prior's per-token
-            # log_std is the only model component that can explain it
-            sigma = batch.pop('noise_sigma')
-            batch['mels'] = jnp.clip(
-                batch['mels'] + sigma * jax.random.normal(
-                    jax.random.fold_in(k, 9999), batch['mels'].shape),
-                -4.0, 4.0)
-            new_st, metrics = train_fn(carry, batch)
-            return new_st, metrics['total']
-        return jax.lax.scan(body, st, jnp.arange(eval_every))
+    def make_chunk(step_fn):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_chunk(st, key, corpus_dev):
+            def body(carry, i):
+                k = jax.random.fold_in(key, i)
+                idx = jax.random.randint(k, (batch_size,), 0, n)
+                batch = {name: jnp.take(v, idx, axis=0)
+                         for name, v in corpus_dev.items()}
+                # fresh per-frame noise per step, amplitude set by the token
+                # occupying the frame (token_sigmas): blocks memorisation of
+                # an identical-every-epoch corpus AND carries the alignment
+                # signal that survives flow whitening — the prior's per-token
+                # log_std is the only model component that can explain it
+                sigma = batch.pop('noise_sigma')
+                batch['mels'] = jnp.clip(
+                    batch['mels'] + sigma * jax.random.normal(
+                        jax.random.fold_in(k, 9999), batch['mels'].shape),
+                    -4.0, 4.0)
+                new_st, metrics = step_fn(carry, batch)
+                return new_st, metrics['total']
+            return jax.lax.scan(body, st, jnp.arange(eval_every))
+        return train_chunk
+
+    chunk_cache = {}
+
+    def chunk_for(step_idx):
+        fn = step_fn_for(step_idx)
+        if id(fn) not in chunk_cache:
+            chunk_cache[id(fn)] = make_chunk(fn)
+        return chunk_cache[id(fn)]
 
     n_eval = min(n, 512)          # eval subset: 2048-pattern full sweeps
                                   # would dominate wall time via the tunnel
@@ -635,7 +673,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     t0 = time.perf_counter()
     step = start_step
     while step < steps:
-        state, chunk_losses = train_chunk(state, jax.random.fold_in(
+        state, chunk_losses = chunk_for(step)(state, jax.random.fold_in(
             jax.random.PRNGKey(seed + 1), step), data_dev)
         step += eval_every
         jax.block_until_ready(chunk_losses)
@@ -673,6 +711,8 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     results = {
         'corpus': corpus_name,
         'steps': step,
+        'alignment_warmup_steps': warmup_steps,
+        'decoder_freeze_steps': freeze_steps,
         'train_wall_sec': round(train_wall, 1),
         'ms_per_step_wall': round(
             train_wall / max(step - start_step, 1) * 1000, 2),
@@ -705,11 +745,18 @@ def main():
     parser.add_argument('--corpus', default='v3', choices=sorted(CORPORA),
                         help='v3 = round-3 non-whitenable corpus (default);'
                              ' v2 = the round-2 corpus, kept comparable')
+    parser.add_argument('--warmup', type=int, default=0,
+                        help='alignment-warmup steps (linear path before '
+                             'MAS; rounded to eval_every chunks)')
+    parser.add_argument('--freeze', type=int, default=0,
+                        help='decoder-freeze steps (fixed flow while the '
+                             'prior locks; rounded to eval_every chunks)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
                   batch_size=args.batch_size, max_tokens=args.max_tokens,
-                  state_file=args.state_file, corpus_name=args.corpus)
+                  state_file=args.state_file, corpus_name=args.corpus,
+                  warmup_steps=args.warmup, freeze_steps=args.freeze)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'convergence_results.json')

@@ -61,7 +61,8 @@ def make_two_speaker_corpus(rng, n=2048):
     return base
 
 
-def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
+def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True,
+        warmup_steps=0, freeze_steps=0):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -97,7 +98,16 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
                   if k != 'noise_sigma'}
     model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                       init_batch)
-    train_fn = make_train_step(cfg, model)
+    step_fns = {}
+
+    def step_fn_for(step_idx):
+        key = (step_idx < warmup_steps, step_idx < freeze_steps)
+        if key not in step_fns:
+            step_fns[key] = make_train_step(
+                cfg, model, linear_alignment=key[0], freeze_decoder=key[1])
+        return step_fns[key]
+
+    train_fn = step_fn_for(steps)
     eval_step = jax.jit(make_eval_step(cfg, model))
     infer_step = jax.jit(make_inference_step(cfg, model,
                                              max_mel_length=MAX_MEL + 128))
@@ -107,21 +117,31 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
 
     # corpus as an argument, not a closure constant (the remote-compile
     # relay 413s on programs with ~0.5 GB of baked-in corpus)
-    @functools.partial(jax.jit, donate_argnums=0)
-    def train_chunk(st, key, corpus_dev):
-        def body(carry, i):
-            k = jax.random.fold_in(key, i)
-            idx = jax.random.randint(k, (batch_size,), 0, n)
-            batch = {name: jnp.take(v, idx, axis=0)
-                     for name, v in corpus_dev.items()}
-            sigma = batch.pop('noise_sigma')
-            batch['mels'] = jnp.clip(
-                batch['mels'] + sigma * jax.random.normal(
-                    jax.random.fold_in(k, 9999), batch['mels'].shape),
-                -4.0, 4.0)
-            new_st, metrics = train_fn(carry, batch)
-            return new_st, metrics['total']
-        return jax.lax.scan(body, st, jnp.arange(eval_every))
+    def make_chunk(step_fn):
+        @functools.partial(jax.jit, donate_argnums=0)
+        def train_chunk(st, key, corpus_dev):
+            def body(carry, i):
+                k = jax.random.fold_in(key, i)
+                idx = jax.random.randint(k, (batch_size,), 0, n)
+                batch = {name: jnp.take(v, idx, axis=0)
+                         for name, v in corpus_dev.items()}
+                sigma = batch.pop('noise_sigma')
+                batch['mels'] = jnp.clip(
+                    batch['mels'] + sigma * jax.random.normal(
+                        jax.random.fold_in(k, 9999), batch['mels'].shape),
+                    -4.0, 4.0)
+                new_st, metrics = step_fn(carry, batch)
+                return new_st, metrics['total']
+            return jax.lax.scan(body, st, jnp.arange(eval_every))
+        return train_chunk
+
+    chunk_cache = {}
+
+    def chunk_for(step_idx):
+        fn = step_fn_for(step_idx)
+        if id(fn) not in chunk_cache:
+            chunk_cache[id(fn)] = make_chunk(fn)
+        return chunk_cache[id(fn)]
 
     n_eval = min(n, 256)
     history = []
@@ -156,7 +176,7 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
     t0 = time.perf_counter()
     step = 0
     while step < steps:
-        state, losses = train_chunk(state, jax.random.fold_in(
+        state, losses = chunk_for(step)(state, jax.random.fold_in(
             jax.random.PRNGKey(seed + 1), step), data_dev)
         step += eval_every
         jax.block_until_ready(losses)
@@ -216,6 +236,8 @@ def run(steps=6000, eval_every=500, batch_size=32, seed=0, verbose=True):
     final = history[-1]
     results = {
         'mode': 'SE-LUT', 'num_speakers': NUM_SPEAKERS, 'steps': step,
+        'alignment_warmup_steps': warmup_steps,
+        'decoder_freeze_steps': freeze_steps,
         'train_wall_sec': round(train_wall, 1),
         'final_diagonality': final['diagonality'],
         'final_alignment_accuracy': final['alignment_accuracy'],
@@ -233,10 +255,17 @@ def main():
     parser.add_argument('--steps', type=int, default=6000)
     parser.add_argument('--eval-every', type=int, default=500)
     parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--warmup', type=int, default=0,
+                        help='alignment-warmup steps (linear path before '
+                             'MAS; rounded to eval_every chunks)')
+    parser.add_argument('--freeze', type=int, default=0,
+                        help='decoder-freeze steps (fixed flow while the '
+                             'prior locks; rounded to eval_every chunks)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
-                  batch_size=args.batch_size)
+                  batch_size=args.batch_size, warmup_steps=args.warmup,
+                  freeze_steps=args.freeze)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'convergence_se_results.json')

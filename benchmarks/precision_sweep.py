@@ -119,8 +119,15 @@ def main():
     jtokens = jnp.asarray(tokens, jnp.int32)
     jtoken_lengths = jnp.asarray(token_lengths, jnp.int32)
 
-    def make_infer(dtype, precision):
-        model = GlowTTS(cfg, dtype=jnp.dtype(dtype))
+    def make_infer(dtype, precision, enc_precision=None, dec_precision=None):
+        import dataclasses
+        mcfg = cfg
+        if enc_precision or dec_precision:
+            mcfg = dataclasses.replace(cfg, tpu=dataclasses.replace(
+                cfg.tpu,
+                inference_encoder_matmul_precision=enc_precision,
+                inference_decoder_matmul_precision=dec_precision))
+        model = GlowTTS(mcfg, dtype=jnp.dtype(dtype))
 
         def run(p, key):
             with jax.default_matmul_precision(precision):
@@ -132,15 +139,37 @@ def main():
                     method=GlowTTS.inference)
         return run
 
-    GRID = [                       # (activation dtype, matmul precision)
-        ('bfloat16', 'bfloat16'),          # production default
-        ('float32', 'bfloat16'),           # f32 activations, 1-pass MXU
-        ('float32', 'tensorfloat32'),      # f32 activations, 3-pass MXU
-        ('float32', 'float32'),            # full fp32 emulation (6-pass)
-    ]
+    if '--scoped' in sys.argv:
+        # per-stage attribution: where does the 1-pass error live, and how
+        # cheap can the stage that doesn't carry it run?  rows are
+        # (activation dtype, encoder precision, decoder precision); the
+        # ambient precision is set to the decoder's (the decoder dominates
+        # FLOPs; the encoder scope overrides its stage explicitly).
+        GRID = [
+            ('float32', 'tensorfloat32', 'tensorfloat32'),   # baseline
+            ('float32', 'tensorfloat32', 'bfloat16'),
+            ('float32', 'bfloat16', 'tensorfloat32'),
+            ('float32', 'float32', 'bfloat16'),
+            ('bfloat16', 'tensorfloat32', 'bfloat16'),
+        ]
+    else:
+        GRID = [                   # (activation dtype, matmul precision)
+            ('bfloat16', 'bfloat16'),          # production default
+            ('float32', 'bfloat16'),           # f32 activations, 1-pass MXU
+            ('float32', 'tensorfloat32'),      # f32 activations, 3-pass MXU
+            ('float32', 'float32'),            # full fp32 emulation (6-pass)
+        ]
     results = []
-    for dtype, precision in GRID:
-        infer = make_infer(dtype, precision)
+    for row in GRID:
+        if len(row) == 3:
+            dtype, enc_p, dec_p = row
+            precision = dec_p
+            infer = make_infer(dtype, precision,
+                               enc_precision=enc_p, dec_precision=dec_p)
+        else:
+            dtype, precision = row
+            enc_p = dec_p = None
+            infer = make_infer(dtype, precision)
         out = jax.jit(infer)(params, jax.random.PRNGKey(0))
         jax.block_until_ready(out)
         j_mels = np.asarray(out['mels'], np.float32)
@@ -175,9 +204,13 @@ def main():
             jax.block_until_ready(total)
             device_sec = min(device_sec, (time.perf_counter() - t0) / CHAIN)
 
-        results.append({'dtype': dtype, 'precision': precision,
-                        'mel_mae': mae, 'mel_mae_max': mae_max,
-                        'device_sec_per_batch': round(device_sec, 5)})
+        entry = {'dtype': dtype, 'precision': precision,
+                 'mel_mae': mae, 'mel_mae_max': mae_max,
+                 'device_sec_per_batch': round(device_sec, 5)}
+        if enc_p is not None:
+            entry['encoder_precision'] = enc_p
+            entry['decoder_precision'] = dec_p
+        results.append(entry)
         print(json.dumps(results[-1]))
 
     base = results[0]['device_sec_per_batch']

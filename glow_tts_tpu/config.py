@@ -223,6 +223,24 @@ class TrainConfig:
     inference_interval: int = 1000
     initial_inference: bool = False
     inference_pattern_file_in_train: Optional[str] = None
+    # Alignment curriculum: for the first N steps train against the uniform
+    # left-to-right ("linear") alignment path instead of MAS, then release
+    # to MAS.  0 (default) reproduces the reference exactly (MAS from step
+    # 0, ``Modules.py:116``).  Rationale: the prior↔MAS EM loop can freeze
+    # in a degenerate self-consistent fixed point from a cold start (an
+    # untrained prior scores all monotonic paths equally), while the same
+    # loop released from a roughly-correct path locks — measured in
+    # docs/CONVERGENCE.md (EM from linear-path init reaches alignment
+    # accuracy 0.9998 where the cold start stays at 0.054).
+    alignment_warmup_steps: int = 0
+    # Freeze the flow decoder for the first N steps (0 = off).  Used with
+    # the alignment warmup: the exact-likelihood flow otherwise whitens
+    # the corpus faster than the prior can lock the alignment (the "race"
+    # quantified in docs/CONVERGENCE.md — alignment reward 0.203 → 0.030
+    # nats/dim within 3k steps).  With the decoder frozen, z is a fixed
+    # featurisation and prior↔MAS runs as pure EM, which locks from a
+    # linear-path init; release the decoder after the lock.
+    decoder_freeze_steps: int = 0
 
 
 @dataclass(frozen=True)
@@ -270,6 +288,16 @@ class TPUConfig:
     # 'bfloat16' / 'default' for maximum-speed synthesis.
     inference_dtype: str = 'float32'
     inference_matmul_precision: str = 'tensorfloat32'
+    # Per-stage overrides of the inference matmul precision (None → use
+    # inference_matmul_precision for both).  The error budget is not
+    # uniform: the text encoder feeds durations through a ceil() (one
+    # boundary flip shifts every following frame) and the prior statistics
+    # enter z directly, while the flow decoder's error is attenuated
+    # differently — benchmarks/precision_sweep.py --scoped measures the
+    # attribution so the expensive multi-pass MXU mode is paid only where
+    # the accuracy comes from.
+    inference_encoder_matmul_precision: Optional[str] = None
+    inference_decoder_matmul_precision: Optional[str] = None
     # Rematerialise each flow step on the backward pass (jax.checkpoint):
     # trades ~⅓ more FLOPs for O(stack) less activation memory — enables
     # much larger batch × sequence products per chip.

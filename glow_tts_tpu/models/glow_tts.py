@@ -39,6 +39,15 @@ from glow_tts_tpu.ops import mas as mas_ops
 LOG_2PI = 1.8378770664093453  # log(2π)
 
 
+def _matmul_precision_scope(precision):
+    """Trace-time matmul-precision scope; None/'default' → no override
+    (ambient policy applies)."""
+    import contextlib
+    if precision and precision != 'default':
+        return jax.default_matmul_precision(precision)
+    return contextlib.nullcontext()
+
+
 def prior_log_likelihood(mean, log_std, z, attn_mask):
     """log N(z_j; mean_i, std_i) summed over mel channels, for every
     (token i, frame j) pair — two MXU matmuls (``Modules.py:107-114``).
@@ -70,6 +79,25 @@ def generate_path(durations: jax.Array, attn_mask: jax.Array) -> jax.Array:
     starts = jnp.pad(ends, ((0, 0), (1, 0), (0, 0)))[:, :-1]
     return (ends.astype(attn_mask.dtype)
             - starts.astype(attn_mask.dtype)) * attn_mask
+
+
+def linear_alignment_path(token_lengths: jax.Array,
+                          mel_lengths: jax.Array,
+                          attn_mask: jax.Array) -> jax.Array:
+    """Uniform left-to-right alignment: token ``i`` of a length-``L``
+    utterance owns frames ``[floor(i·T/L), floor((i+1)·T/L))``.
+
+    Used by the alignment-warmup curriculum
+    (``train.alignment_warmup_steps``) as the path MAS is released from —
+    no reference analogue (the reference always runs MAS,
+    ``Modules.py:116``); motivation in docs/CONVERGENCE.md."""
+    t_tok = attn_mask.shape[1]
+    tl = jnp.maximum(token_lengths.astype(jnp.float32), 1.0)[:, None]
+    ml = mel_lengths.astype(jnp.float32)[:, None]
+    i = jnp.arange(t_tok, dtype=jnp.float32)[None, :]
+    cum = jnp.where(i < tl, jnp.floor((i + 1.0) * ml / tl), ml)
+    durations = cum - jnp.pad(cum, ((0, 0), (1, 0)))[:, :-1]
+    return generate_path(durations, attn_mask)
 
 
 class GlowTTS(nn.Module):
@@ -136,7 +164,8 @@ class GlowTTS(nn.Module):
                  speakers: Optional[jax.Array] = None,       # [B] ids
                  mels_for_ge2e: Optional[jax.Array] = None,  # [B·S, T_sl, M]
                  pitches: Optional[jax.Array] = None,        # [B, T_mel]
-                 deterministic: bool = True) -> Dict[str, Any]:
+                 deterministic: bool = True,
+                 linear_alignment: bool = False) -> Dict[str, Any]:
         cfg = self.config
         speaker_vec, prosody_vec, classified = self._conditions(
             mels, mel_lengths, speakers, mels_for_ge2e, deterministic)
@@ -156,18 +185,25 @@ class GlowTTS(nn.Module):
 
         attn_mask = token_mask * mel_mask[:, None, :, 0]     # [B,T_tok,T_mel]
 
-        # MAS is not differentiated through (reference runs it under
-        # no_grad on host); stop-gradient the input statistics.
-        log_p = prior_log_likelihood(
-            jax.lax.stop_gradient(mean), jax.lax.stop_gradient(log_std),
-            jax.lax.stop_gradient(z), attn_mask)
-        backend = cfg.tpu.mas_backend
-        if backend not in ('pallas', 'scan'):
-            backend = 'scan'  # host backends are not jit-compatible
-        if jax.devices()[0].platform != 'tpu' and backend == 'pallas':
-            backend = 'scan'
-        attentions = jax.lax.stop_gradient(mas_ops.maximum_path(
-            log_p, token_lengths, mel_lengths, backend=backend))
+        if linear_alignment:
+            # Warmup curriculum (train.alignment_warmup_steps): skip MAS
+            # entirely and supervise against the uniform path.  Static
+            # flag → its own jit specialisation, no dead MAS in the graph.
+            attentions = linear_alignment_path(
+                token_lengths, mel_lengths, attn_mask)
+        else:
+            # MAS is not differentiated through (reference runs it under
+            # no_grad on host); stop-gradient the input statistics.
+            log_p = prior_log_likelihood(
+                jax.lax.stop_gradient(mean), jax.lax.stop_gradient(log_std),
+                jax.lax.stop_gradient(z), attn_mask)
+            backend = cfg.tpu.mas_backend
+            if backend not in ('pallas', 'scan'):
+                backend = 'scan'  # host backends are not jit-compatible
+            if jax.devices()[0].platform != 'tpu' and backend == 'pallas':
+                backend = 'scan'
+            attentions = jax.lax.stop_gradient(mas_ops.maximum_path(
+                log_p, token_lengths, mel_lengths, backend=backend))
 
         mel_mean = jnp.einsum('bim,bij->bjm', mean,
                               attentions.astype(mean.dtype),
@@ -215,53 +251,65 @@ class GlowTTS(nn.Module):
         the capacity at trace time; the reference materialises a dynamic
         max, ``Modules.py:173-175``)."""
         cfg = self.config
-        speaker_vec, prosody_vec, _ = self._conditions(
-            mels_for_prosody, mel_lengths_for_prosody, speakers,
-            mels_for_ge2e, True, frozen_ge2e=False)
+        # Per-stage precision scoping (tpu.inference_*_matmul_precision):
+        # the encoder stage covers conditioning, the prior heads, the
+        # alignment einsums and z sampling — everything whose error enters
+        # z or the durations directly; the decoder stage is the inverse
+        # flow.  None → the ambient (make_inference_step) policy applies.
+        enc_scope = _matmul_precision_scope(
+            cfg.tpu.inference_encoder_matmul_precision)
+        with enc_scope:
+            speaker_vec, prosody_vec, _ = self._conditions(
+                mels_for_prosody, mel_lengths_for_prosody, speakers,
+                mels_for_ge2e, True, frozen_ge2e=False)
 
-        token_mask = sequence_mask(token_lengths, tokens.shape[1])
-        mean, log_std, log_durations = self.encoder(
-            tokens, token_mask,
-            self._duration_condition(speaker_vec, prosody_vec), True)
+            token_mask = sequence_mask(token_lengths, tokens.shape[1])
+            mean, log_std, log_durations = self.encoder(
+                tokens, token_mask,
+                self._duration_condition(speaker_vec, prosody_vec), True)
 
-        length_scale = jnp.asarray(length_scale, jnp.float32)
-        length_scale = jnp.broadcast_to(length_scale.reshape(-1, 1),
-                                        log_durations.shape[:2])
-        durations = jnp.ceil(
-            jnp.exp(log_durations[..., 0].astype(jnp.float32))
-            * token_mask[..., 0] * length_scale)             # [B, T_tok]
-        mel_lengths = jnp.maximum(durations.sum(axis=1), 1.0)
-        mel_lengths = jnp.minimum(mel_lengths, max_mel_length)
-        # keep the squeeze-truncation exact: round down to num_squeeze
-        s = cfg.decoder.num_squeeze
-        mel_lengths = (mel_lengths.astype(jnp.int32) // s) * s
-        mel_lengths = jnp.maximum(mel_lengths, s)
+        with _matmul_precision_scope(
+                cfg.tpu.inference_encoder_matmul_precision):
+            length_scale = jnp.asarray(length_scale, jnp.float32)
+            length_scale = jnp.broadcast_to(length_scale.reshape(-1, 1),
+                                            log_durations.shape[:2])
+            durations = jnp.ceil(
+                jnp.exp(log_durations[..., 0].astype(jnp.float32))
+                * token_mask[..., 0] * length_scale)         # [B, T_tok]
+            mel_lengths = jnp.maximum(durations.sum(axis=1), 1.0)
+            mel_lengths = jnp.minimum(mel_lengths, max_mel_length)
+            # keep the squeeze-truncation exact: round down to num_squeeze
+            s = cfg.decoder.num_squeeze
+            mel_lengths = (mel_lengths.astype(jnp.int32) // s) * s
+            mel_lengths = jnp.maximum(mel_lengths, s)
 
-        mel_mask = sequence_mask(mel_lengths, max_mel_length)
-        attn_mask = token_mask * mel_mask[:, None, :, 0]
-        attentions = generate_path(durations, attn_mask)
+            mel_mask = sequence_mask(mel_lengths, max_mel_length)
+            attn_mask = token_mask * mel_mask[:, None, :, 0]
+            attentions = generate_path(durations, attn_mask)
 
-        mel_mean = jnp.einsum('bim,bij->bjm', mean,
-                              attentions.astype(mean.dtype),
-                              preferred_element_type=jnp.float32)
-        mel_log_std = jnp.einsum('bim,bij->bjm', log_std,
-                                 attentions.astype(log_std.dtype),
-                                 preferred_element_type=jnp.float32)
+            mel_mean = jnp.einsum('bim,bij->bjm', mean,
+                                  attentions.astype(mean.dtype),
+                                  preferred_element_type=jnp.float32)
+            mel_log_std = jnp.einsum('bim,bij->bjm', log_std,
+                                     attentions.astype(log_std.dtype),
+                                     preferred_element_type=jnp.float32)
 
-        if noise_key is None:
-            noise_key = self.make_rng('noise')
-        noise = jax.random.normal(noise_key, mel_mean.shape,
-                                  jnp.float32) * noise_scale
-        z = (mel_mean + jnp.exp(mel_log_std) * noise) * mel_mask
+            if noise_key is None:
+                noise_key = self.make_rng('noise')
+            noise = jax.random.normal(noise_key, mel_mean.shape,
+                                      jnp.float32) * noise_scale
+            z = (mel_mean + jnp.exp(mel_log_std) * noise) * mel_mask
 
-        pitch_in = None
-        if cfg.uses_gradient_reversal and pitches is not None:
-            pitch_in = interpolate_pitch(
-                pitches, pitch_lengths, mel_lengths, max_mel_length)
+            pitch_in = None
+            if cfg.uses_gradient_reversal and pitches is not None:
+                pitch_in = interpolate_pitch(
+                    pitches, pitch_lengths, mel_lengths, max_mel_length)
 
-        mels, _, mel_mask = self.decoder(
-            z.astype(self.dtype or jnp.float32), mel_mask,
-            speaker_vec, prosody_vec, pitch_in, reverse=True)
+        with _matmul_precision_scope(
+                cfg.tpu.inference_decoder_matmul_precision):
+            mels, _, mel_mask = self.decoder(
+                z.astype(self.dtype or jnp.float32), mel_mask,
+                speaker_vec, prosody_vec, pitch_in, reverse=True)
         mels = jnp.where(mel_mask > 0, mels, -cfg.sound.max_abs_mel)
 
         return {

@@ -95,7 +95,17 @@ def compute_losses(config: Config, outputs: Dict[str, Any],
     return loss_dict
 
 
-def make_train_step(config: Config, model: GlowTTS):
+def make_train_step(config: Config, model: GlowTTS,
+                    linear_alignment: bool = False,
+                    freeze_decoder: bool = False):
+    """``linear_alignment=True`` builds the alignment-warmup variant of the
+    step (uniform path instead of MAS — ``train.alignment_warmup_steps``);
+    ``freeze_decoder=True`` zeroes the flow-decoder updates
+    (``train.decoder_freeze_steps``) so the prior locks the alignment
+    against a *fixed* flow featurisation before the flow starts whitening
+    the corpus — the measured cure for the cold-start alignment race
+    (docs/CONVERGENCE.md).  Each flag combination is a separate jit
+    specialisation, selected per-step on the host."""
     tx = make_optimizer(config)
 
     def train_step(state: TrainState, batch: Dict[str, Any]):
@@ -112,6 +122,7 @@ def make_train_step(config: Config, model: GlowTTS):
                 mels_for_ge2e=batch.get('mels_for_ge2e'),
                 pitches=batch.get('pitches'),
                 deterministic=False,
+                linear_alignment=linear_alignment,
                 rngs={'dropout': rng})
             loss_dict = compute_losses(config, outputs, batch)
             return loss_dict['total'], loss_dict
@@ -119,6 +130,15 @@ def make_train_step(config: Config, model: GlowTTS):
         (_, loss_dict), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if freeze_decoder:
+            # zero the UPDATES, not the gradients: the optimizer moments
+            # keep accumulating real curvature, so the release step is
+            # normalised like any other (zeroing gradients instead leaves
+            # the second moments empty and the first released update is
+            # an oversized sign-step — observed to NaN the flow)
+            updates = {k: (jax.tree_util.tree_map(jnp.zeros_like, v)
+                           if k == 'decoder' else v)
+                       for k, v in updates.items()}
         params = optax.apply_updates(state.params, updates)
         metrics = dict(loss_dict)
         metrics['grad_norm'] = optax.global_norm(grads)

@@ -122,6 +122,22 @@ class Trainer:
 
         self.train_step = self._with_mesh(
             jax.jit(make_train_step(config, self.model), donate_argnums=0))
+        # Alignment-curriculum variants (linear path / frozen decoder),
+        # one jit specialisation per flag combination; selected per-step
+        # on the host (``_select_train_step``).
+        self._curriculum_steps = {}
+        for linear in (True, False):
+            for frozen in (True, False):
+                if linear and not config.train.alignment_warmup_steps:
+                    continue
+                if frozen and not config.train.decoder_freeze_steps:
+                    continue
+                if not linear and not frozen:
+                    continue
+                self._curriculum_steps[(linear, frozen)] = self._with_mesh(
+                    jax.jit(make_train_step(
+                        config, self.model, linear_alignment=linear,
+                        freeze_decoder=frozen), donate_argnums=0))
         self.eval_step = self._with_mesh(
             jax.jit(make_eval_step(config, self.model)))
         self.inference_step = self._with_mesh(jax.jit(make_inference_step(
@@ -292,7 +308,11 @@ class Trainer:
                     if profile_steps and self.step == profile_steps[0]:
                         jax.profiler.start_trace(
                             os.path.join(self.config.log_path, 'profile'))
-                    self.state, metrics = self.train_step(self.state, batch)
+                    linear = self.step < cfg.alignment_warmup_steps
+                    frozen = self.step < cfg.decoder_freeze_steps
+                    step_fn = self._curriculum_steps.get(
+                        (linear, frozen), self.train_step)
+                    self.state, metrics = step_fn(self.state, batch)
                     self.step += 1
                     if profile_steps and self.step == profile_steps[1]:
                         jax.block_until_ready(self.state)

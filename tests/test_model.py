@@ -116,6 +116,85 @@ def test_inference_batch_one_and_minimal_tokens():
     assert int(out['mel_lengths'][0]) >= cfg.decoder.num_squeeze
 
 
+def test_linear_alignment_path_properties():
+    """The warmup path is a valid hard monotonic alignment: every valid
+    frame owned by exactly one valid token, tokens in order, durations as
+    uniform as integer rounding allows."""
+    from glow_tts_tpu.models.glow_tts import linear_alignment_path
+
+    token_lengths = jnp.asarray([5, 1, 7], jnp.int32)
+    mel_lengths = jnp.asarray([16, 10, 7], jnp.int32)
+    t_tok, t_mel = 8, 20
+    tok_mask = (np.arange(t_tok)[None, :]
+                < np.asarray(token_lengths)[:, None]).astype(np.float32)
+    mel_mask = (np.arange(t_mel)[None, :]
+                < np.asarray(mel_lengths)[:, None]).astype(np.float32)
+    attn_mask = tok_mask[:, :, None] * mel_mask[:, None, :]
+    path = np.asarray(linear_alignment_path(
+        token_lengths, mel_lengths, jnp.asarray(attn_mask)))
+    for i, (tl, ml) in enumerate(zip([5, 1, 7], [16, 10, 7])):
+        assert np.all(path[i, :, :ml].sum(axis=0) == 1)     # frame coverage
+        assert path[i].sum() == ml                           # nothing extra
+        owners = path[i, :, :ml].argmax(axis=0)
+        assert np.all(np.diff(owners) >= 0)                  # monotonic
+        durations = path[i].sum(axis=1)
+        assert np.all(durations[:tl] >= ml // tl)            # near-uniform
+        assert np.all(durations[tl:] == 0)
+
+
+def test_alignment_warmup_train_step():
+    """linear_alignment=True trains against the uniform path: the returned
+    attentions equal linear_alignment_path and the loss is finite."""
+    from glow_tts_tpu.models.glow_tts import linear_alignment_path
+
+    cfg, batch, model, state = _setup('Vanilla')
+    warm_step = jax.jit(make_train_step(cfg, model, linear_alignment=True))
+    state, metrics = warm_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+
+    eval_out = model.apply(
+        {'params': state.params}, tokens=batch['tokens'],
+        token_lengths=batch['token_lengths'], mels=batch['mels'],
+        mel_lengths=batch['mel_lengths'], deterministic=True,
+        linear_alignment=True)
+    tok_mask = (np.arange(batch['tokens'].shape[1])[None, :]
+                < np.asarray(batch['token_lengths'])[:, None])
+    mel_mask = (np.arange(batch['mels'].shape[1])[None, :]
+                < np.asarray(batch['mel_lengths'])[:, None])
+    attn_mask = (tok_mask[:, :, None] * mel_mask[:, None, :]).astype(
+        np.float32)
+    expected = np.asarray(linear_alignment_path(
+        jnp.asarray(batch['token_lengths']),
+        jnp.asarray(batch['mel_lengths']), jnp.asarray(attn_mask)))
+    np.testing.assert_array_equal(
+        np.asarray(eval_out['attentions'], np.float32), expected)
+
+
+def test_decoder_freeze_step():
+    """freeze_decoder=True (train.decoder_freeze_steps) must leave every
+    flow-decoder parameter bit-unchanged while the encoder still trains —
+    the alignment-curriculum phase that turns prior↔MAS into pure EM
+    (docs/CONVERGENCE.md)."""
+    cfg, batch, model, state = _setup('Vanilla')
+    frozen_step = jax.jit(make_train_step(cfg, model, linear_alignment=True,
+                                          freeze_decoder=True))
+    dec_before = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params['decoder']))
+    enc_before = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params['encoder']))
+    for _ in range(2):
+        state, metrics = frozen_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+    dec_after = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params['decoder']))
+    enc_after = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params['encoder']))
+    for a, b in zip(dec_before, dec_after):
+        np.testing.assert_array_equal(a, b)
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(enc_before, enc_after))
+
+
 @pytest.mark.parametrize('mode', ['Vanilla', 'GR'])
 def test_weight_norm_fold_parity(mode):
     """Serving folds weight norm at load (v ← g·v/‖v‖, round-2 weak #7):
