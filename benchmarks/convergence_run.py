@@ -508,7 +508,8 @@ def ideal_diagonality(true_durations, token_lengths, mel_lengths):
 
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         state_file=None, max_tokens=None, corpus_name='v3',
-        warmup_steps=0, freeze_steps=0):
+        warmup_steps=0, freeze_steps=0, learning_rate=None,
+        identity_mixing=False):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -530,10 +531,14 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     on_tpu = jax.devices()[0].platform == 'tpu'
     embedding_tokens = max(
         35, int(max(p['tokens'].max() for p in corpus)) + 1)
+    train_section = {'Batch_Size': batch_size}
+    if learning_rate is not None:
+        train_section['Learning_Rate'] = {'Initial': learning_rate}
     cfg = load_config({
         'Mode': 'Vanilla',
         'Encoder': {'Embedding_Tokens': embedding_tokens},
-        'Train': {'Batch_Size': batch_size},
+        'Train': train_section,
+        'Decoder': {'Identity_Mixing_Init': identity_mixing},
         'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
     })
     data, true_durations, frame_token = pad_corpus(
@@ -713,6 +718,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         'steps': step,
         'alignment_warmup_steps': warmup_steps,
         'decoder_freeze_steps': freeze_steps,
+        'identity_mixing_init': identity_mixing,
         'train_wall_sec': round(train_wall, 1),
         'ms_per_step_wall': round(
             train_wall / max(step - start_step, 1) * 1000, 2),
@@ -751,12 +757,19 @@ def main():
     parser.add_argument('--freeze', type=int, default=0,
                         help='decoder-freeze steps (fixed flow while the '
                              'prior locks; rounded to eval_every chunks)')
+    parser.add_argument('--lr', type=float, default=None,
+                        help='override Train.Learning_Rate.Initial')
+    parser.add_argument('--identity-mix', action='store_true',
+                        help='Decoder.Identity_Mixing_Init: phase-'
+                             'symmetric frozen featurisation (see '
+                             'config.py)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
                   batch_size=args.batch_size, max_tokens=args.max_tokens,
                   state_file=args.state_file, corpus_name=args.corpus,
-                  warmup_steps=args.warmup, freeze_steps=args.freeze)
+                  warmup_steps=args.warmup, freeze_steps=args.freeze,
+                  learning_rate=args.lr, identity_mixing=args.identity_mix)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'convergence_results.json')

@@ -107,6 +107,17 @@ class DecoderConfig:
     num_split: int = 4
     affine_coupling: AffineCouplingConfig = field(
         default_factory=AffineCouplingConfig)
+    # Initialise the invertible 1×1 mixing at IDENTITY instead of the
+    # reference's random orthogonal (``Modules.py:718-725``).  With the
+    # alignment curriculum (decoder frozen while the prior locks), a
+    # random mixing projects the two frames of each squeeze pair
+    # differently, and the single-Gaussian-per-token prior averages the
+    # two phase distributions — measured: boundary placement inside pairs
+    # becomes likelihood-free and MAS durations go odd against an
+    # all-even corpus (92.6 % of alignment errors ±1 token).  Identity
+    # mixing keeps the frozen featurisation phase-symmetric; the weight
+    # is still fully learnable after release.
+    identity_mixing_init: bool = False
 
 
 @dataclass(frozen=True)

@@ -114,6 +114,7 @@ class InvertibleConv(nn.Module):
     """
     num_split: int
     dtype: Optional[jnp.dtype] = None
+    identity_init: bool = False   # decoder.identity_mixing_init
 
     @staticmethod
     def _grouping(c: int, s: int):
@@ -149,6 +150,8 @@ class InvertibleConv(nn.Module):
         assert s % 2 == 0 and c % s == 0
 
         def orthogonal_init(rng):
+            if self.identity_init:
+                return jnp.eye(s, dtype=jnp.float32)   # det = 1 > 0
             w = jnp.linalg.qr(
                 jax.random.normal(rng, (s, s), jnp.float32))[0]
             # enforce det(W) > 0 so logdet starts real
@@ -386,8 +389,10 @@ class FlowStep(nn.Module):
     def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
                  reverse: bool = False, deterministic: bool = True):
         actnorm = ActNorm(self.dtype, name='actnorm')
-        invconv = InvertibleConv(self.config.decoder.num_split,
-                                 self.dtype, name='invconv')
+        invconv = InvertibleConv(
+            self.config.decoder.num_split, self.dtype,
+            identity_init=self.config.decoder.identity_mixing_init,
+            name='invconv')
         coupling = AffineCoupling(self.config, self.dtype, name='coupling')
 
         backend = self.config.tpu.coupling_backend
