@@ -3,8 +3,9 @@
 Evidence script for the fused-kernel milestone (VERDICT r1 item 1):
 
 * device-side ms for the full 12-step FlowDecoder in both directions at
-  production size (batch 32, 768 mel frames → 384 squeezed), flax vs
-  fused backend, bf16 and f32 — timed with the chained-carry protocol
+  production size (batch 32, 768 mel frames → 384 squeezed), flax vs the
+  per-step fused kernel vs the 12-step megakernel ('mega'), bf16 and
+  f32 — timed with the chained-carry protocol
   (CLAUDE.md "benchmarking pitfalls": iteration i's input depends on the
   carry so XLA cannot hoist, and the chain runs device-side in one
   dispatch);
@@ -88,51 +89,54 @@ def main():
 
     on_tpu = jax.default_backend() == 'tpu'
     for dtype_str in ('bfloat16', 'float32'):
-        # The decoder's hardware gate silently resolves 'fused' to flax
-        # off-TPU or at f32 (Mosaic's single-pass f32 dot is wrong at
+        # The decoder's hardware gate silently resolves 'fused'/'mega' to
+        # flax off-TPU or at f32 (Mosaic's single-pass f32 dot is wrong at
         # 2.7e-1 err — models/decoder.py).  Record the RESOLVED backend
         # and skip the self-comparison rows so the JSON can never be read
         # as an f32 kernel measurement (ADVICE r2).
-        resolved = 'fused' if (on_tpu and dtype_str == 'bfloat16') \
-            else 'flax'
+        kernel_ok = on_tpu and dtype_str == 'bfloat16'
         # identical params for both backends → direct numeric comparison
         dec_f, params, x, mask = build('flax', dtype_str)
-        dec_k, _, _, _ = build('fused', dtype_str)
+        kernel_backends = ('fused', 'mega') if kernel_ok else ()
         for reverse in (False, True):
             key = f"{dtype_str}/{'reverse' if reverse else 'forward'}"
             ms_f = chained(dec_f, params, x, mask, reverse, args.iters)
-            if resolved != 'fused':
+            if not kernel_ok:
                 results['runs'][key] = {
                     'flax_ms': round(ms_f, 3), 'fused_ms': None,
-                    'backend_resolved': resolved,
-                    'note': 'fused gate falls back to flax here; no '
+                    'backend_resolved': 'flax',
+                    'note': 'fused/mega gates fall back to flax here; no '
                             'kernel measurement possible'}
                 print(json.dumps({key: results['runs'][key]}), flush=True)
                 continue
+            row = {'flax_ms': round(ms_f, 3)}
             z_f, ld_f, _ = jax.jit(functools.partial(
                 dec_f.apply, reverse=reverse))(params, x, mask)
-            z_k, ld_k, _ = jax.jit(functools.partial(
-                dec_k.apply, reverse=reverse))(params, x, mask)
-            err = float(jnp.max(jnp.abs(z_f.astype(jnp.float32)
-                                        - z_k.astype(jnp.float32))))
             scale = float(jnp.max(jnp.abs(z_f.astype(jnp.float32)))) or 1.0
-            ld_err = (float(jnp.max(jnp.abs(ld_f - ld_k)))
-                      if ld_f is not None else None)
-            ms_k = chained(dec_k, params, x, mask, reverse, args.iters)
-            results['runs'][key] = {
-                'flax_ms': round(ms_f, 3), 'fused_ms': round(ms_k, 3),
-                'backend_resolved': resolved,
-                'speedup': round(ms_f / ms_k, 3),
-                'max_abs_diff': err, 'rel_diff': err / scale,
-                'logdet_max_diff': ld_err,
-            }
-            print(json.dumps({key: results['runs'][key]}), flush=True)
+            for backend in kernel_backends:
+                dec_k, _, _, _ = build(backend, dtype_str)
+                z_k, ld_k, _ = jax.jit(functools.partial(
+                    dec_k.apply, reverse=reverse))(params, x, mask)
+                err = float(jnp.max(jnp.abs(z_f.astype(jnp.float32)
+                                            - z_k.astype(jnp.float32))))
+                ld_err = (float(jnp.max(jnp.abs(ld_f - ld_k)))
+                          if ld_f is not None else None)
+                ms_k = chained(dec_k, params, x, mask, reverse, args.iters)
+                row[f'{backend}_ms'] = round(ms_k, 3)
+                row[f'{backend}_speedup'] = round(ms_f / ms_k, 3)
+                row[f'{backend}_max_abs_diff'] = err
+                row[f'{backend}_rel_diff'] = err / scale
+                row[f'{backend}_logdet_max_diff'] = ld_err
+            results['runs'][key] = row
+            print(json.dumps({key: row}), flush=True)
 
     if args.profile:
         from benchmarks.profile_ops import profile_device_ops
         dec_f, params, x, mask = build('flax', 'bfloat16')
         dec_k, _, _, _ = build('fused', 'bfloat16')
-        for name, dec in (('flax', dec_f), ('fused', dec_k)):
+        dec_m, _, _, _ = build('mega', 'bfloat16')
+        for name, dec in (('flax', dec_f), ('fused', dec_k),
+                          ('mega', dec_m)):
             fn = jax.jit(functools.partial(dec.apply, reverse=True))
             ops, total_ps = profile_device_ops(fn, params, x, mask, iters=3)
             top = [(op, ps / 1e9 / 3) for op, ps, _ in ops[:12]]

@@ -275,13 +275,15 @@ class TPUConfig:
     # 'pallas' | 'scan' | 'cpp' | 'numpy' — monotonic alignment search backend.
     mas_backend: str = 'pallas'
     # Flow-step backend for the deterministic (no-dropout) path:
-    # 'auto' → the fastest measured backend — currently the XLA/flax path:
-    # with the gather-free mixing matrix it runs the 12-step decoder in
-    # 4.9 ms (batch 32 × 384 squeezed frames, v5e) vs 5.1-5.3 ms for the
-    # fused Pallas flow-step kernel (ops/coupling.py), which remains
-    # available as 'fused' (bf16 compute only) and 'fused_interpret'
-    # (Pallas interpreter, CPU parity tests).  Training's dropout path
-    # always uses flax.
+    # 'auto' → the fastest measured backend; 'flax' → plain XLA (with the
+    # gather-free mixing matrix: 12-step decoder 4.9 ms @ batch 32 × 384
+    # squeezed frames, v5e); 'fused' → the per-step Pallas flow-step
+    # kernel (bf16 compute only, measured ~8 % behind XLA); 'mega' → the
+    # 12-step flow-STACK megakernel (one pallas_call for the whole
+    # decoder, activations VMEM-resident across steps, per-step weights
+    # streamed by grid-block double-buffering; bf16 compute only);
+    # '*_interpret' variants run the Pallas interpreter (CPU parity
+    # tests).  Training's dropout path always uses flax.
     coupling_backend: str = 'auto'
     # XLA matmul precision: 'default' (fast, bf16-input MXU passes; mel MAE
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the

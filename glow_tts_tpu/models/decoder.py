@@ -387,13 +387,20 @@ class FlowStep(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, speaker=None, prosody=None, pitch=None,
-                 reverse: bool = False, deterministic: bool = True):
+                 reverse: bool = False, deterministic: bool = True,
+                 return_params: bool = False):
         actnorm = ActNorm(self.dtype, name='actnorm')
         invconv = InvertibleConv(
             self.config.decoder.num_split, self.dtype,
             identity_init=self.config.decoder.identity_mixing_init,
             name='invconv')
         coupling = AffineCoupling(self.config, self.dtype, name='coupling')
+
+        if return_params:
+            # hand this step's fused weight dict + conditioning bias to the
+            # 12-step stack kernel one level up (FlowDecoder)
+            return self._fused_params(x, mask, actnorm, invconv, coupling,
+                                      speaker, prosody, pitch, reverse)
 
         backend = self.config.tpu.coupling_backend
         dt = self.dtype or x.dtype
@@ -426,15 +433,11 @@ class FlowStep(nn.Module):
             logdet_total += ld
         return x, logdet_total
 
-    def _fused_step(self, x, mask, actnorm, invconv, coupling,
-                    speaker, prosody, pitch, reverse, interpret):
-        """Whole flow step (ActNorm → inv-1×1 → coupling; reverse order on
-        the inverse pass) as ONE Pallas call (``ops/coupling.py``): the
-        ActNorm affine and the block-sparse channel mixing become the
-        kernel's prologue/epilogue, removing two XLA-op regions and two
-        kernel boundaries per step from the hot flow loop."""
-        from glow_tts_tpu.ops.coupling import fused_flow_step
-
+    def _fused_params(self, x, mask, actnorm, invconv, coupling,
+                      speaker, prosody, pitch, reverse):
+        """Declare the identical parameter tree and pack this step's
+        effective weights (+ the folded ActNorm/mixing terms) for the
+        fused flow-step / flow-stack kernels (``ops/coupling.py``)."""
         c = x.shape[-1]
         s = self.config.decoder.num_split
         logs, bias = actnorm(x, mask, return_params=True)
@@ -451,7 +454,20 @@ class FlowStep(nn.Module):
         if not reverse:
             weights['ld_const'] = (
                 jnp.sum(logs) + jnp.linalg.slogdet(w)[1] * (c / s))
+        return weights, cond
 
+    def _fused_step(self, x, mask, actnorm, invconv, coupling,
+                    speaker, prosody, pitch, reverse, interpret):
+        """Whole flow step (ActNorm → inv-1×1 → coupling; reverse order on
+        the inverse pass) as ONE Pallas call (``ops/coupling.py``): the
+        ActNorm affine and the block-sparse channel mixing become the
+        kernel's prologue/epilogue, removing two XLA-op regions and two
+        kernel boundaries per step from the hot flow loop."""
+        from glow_tts_tpu.ops.coupling import fused_flow_step
+
+        weights, cond = self._fused_params(
+            x, mask, actnorm, invconv, coupling, speaker, prosody, pitch,
+            reverse)
         dt = self.dtype or x.dtype
         z, ld = fused_flow_step(x.astype(dt), mask, weights, cond,
                                 pitch=pitch, reverse=reverse,
@@ -485,12 +501,59 @@ class FlowDecoder(nn.Module):
             step_cls(self.config, self.dtype, name=f'flow_{i}')
             for i in range(self.config.decoder.stack)
         ]
-        logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
-        for step in (reversed(steps) if reverse else steps):
-            # positional so the remat static_argnums line up
-            x, ld = step(x, sq_mask, speaker, prosody, pitch,
-                         reverse, deterministic)
-            logdet_total += ld
+
+        backend = self.config.tpu.coupling_backend
+        dt = self.dtype or x.dtype
+        # 'mega' runs the WHOLE stack as one Pallas call (grid over flow
+        # steps, activations VMEM-resident throughout, weights streamed by
+        # block double-buffering); bf16 hardware only, like 'fused'.  At
+        # init time fall through to the sequential path so each ActNorm's
+        # data-dependent init sees ITS OWN input, not the stack input.
+        mega = (deterministic and not self.is_initializing()
+                and not self.config.tpu.remat_flows
+                and (backend == 'mega_interpret'
+                     or (backend == 'mega'
+                         and jax.default_backend() == 'tpu'
+                         and dt == jnp.bfloat16)))
+        if mega:
+            x, logdet_total = self._mega(
+                steps, x, sq_mask, speaker, prosody, pitch, reverse,
+                deterministic, interpret=backend == 'mega_interpret')
+        else:
+            logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
+            for step in (reversed(steps) if reverse else steps):
+                # positional so the remat static_argnums line up
+                x, ld = step(x, sq_mask, speaker, prosody, pitch,
+                             reverse, deterministic)
+                logdet_total += ld
 
         x, out_mask = unsqueeze(x, sq_mask, s)
         return x, (None if reverse else logdet_total), out_mask
+
+    def _mega(self, steps, x, mask, speaker, prosody, pitch, reverse,
+              deterministic, interpret):
+        """Gather every step's fused weights, stack them along a flow axis
+        and run the 12-step megakernel (``ops/coupling.py``
+        ``fused_flow_stack``).  Steps are always gathered in forward
+        order; the kernel's index maps reverse the order on the inverse
+        pass."""
+        from glow_tts_tpu.ops.coupling import fused_flow_stack
+
+        gathered = [
+            step(x, mask, speaker, prosody, pitch, reverse, deterministic,
+                 return_params=True)
+            for step in steps
+        ]
+        stacked = {
+            key: jnp.stack([w[key] for w, _ in gathered])
+            for key in gathered[0][0]
+        }
+        cond = jnp.stack([c for _, c in gathered])          # [S, n, B, 2ch]
+
+        dt = self.dtype or x.dtype
+        z, ld = fused_flow_stack(x.astype(dt), mask, stacked, cond,
+                                 pitch=pitch, reverse=reverse,
+                                 interpret=interpret)
+        if ld is None:
+            ld = jnp.zeros((x.shape[0],), jnp.float32)
+        return z.astype(x.dtype), ld

@@ -55,6 +55,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _chunks(p: int, nc: int):
+    base = (p // nc) // 8 * 8
+    out = [(ci * base, base) for ci in range(nc - 1)]
+    out.append(((nc - 1) * base, p - (nc - 1) * base))
+    return out
+
+
+def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
+                   ws_v, bs_v, get_win, get_wrs, get_brs, get_cond,
+                   we_v, be_v, ind, xp, xi, out_s,
+                   pit_v=None, get_wp=None, reverse=False,
+                   stream_ctl=None):
+    """The shared WaveNet-coupling core: start 1×1 → ``n`` gated layers →
+    end 1×1 → affine transform.  Weight access goes through getters so the
+    same core serves VMEM-resident weights, manually DMA-streamed weights
+    (the f32 single-step configuration) and grid-block-streamed weights
+    (the 12-step stack kernel).  Returns ``(z_b, logs)`` both ``[P, c2]``
+    fp32."""
+    # start 1×1: h = (x_a @ W_start + b_start) * mask
+    h = jnp.dot(xa_v, ws_v, preferred_element_type=jnp.float32)
+    h = (h + bs_v[None, :]) * m
+
+    xp[...] = jnp.zeros((p + 2 * pad, ch), dt)
+    xp[pad:pad + p] = h.astype(dt)
+    out_s[...] = jnp.zeros((p, ch), jnp.float32)
+
+    for i in range(n):
+        if stream_ctl is not None:
+            stream_ctl(i)
+        w_i = get_win(i)
+        w_r = get_wrs(i)
+
+        # phase 1: per-chunk im2col builds interleaved with the conv
+        # matmuls so the VPU build of chunk c+1 overlaps the MXU pass
+        # of chunk c
+        accs = []
+        for (o, L) in chunks:
+            for d in range(k):
+                xi[o:o + L, d * ch:(d + 1) * ch] = xp[o + d:o + d + L]
+            accs.append(jnp.dot(xi[o:o + L], w_i,
+                                preferred_element_type=jnp.float32))
+        # phase 2: gates (VPU) interleaved with res/skip matmuls (MXU)
+        rss = []
+        for ci, (o, L) in enumerate(chunks):
+            acc = accs[ci] + jnp.dot(ind[o:o + L], get_cond(i),
+                                     preferred_element_type=jnp.float32)
+            if pit_v is not None:
+                acc += jnp.dot(pit_v[o:o + L], get_wp(i),
+                               preferred_element_type=jnp.float32)
+            g = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
+            rss.append(jnp.dot(g.astype(dt), w_r,
+                               preferred_element_type=jnp.float32))
+        # phase 3: residual / skip updates (reads of xp all happened in
+        # phase 1, so in-place updates are hazard-free)
+        for ci, (o, L) in enumerate(chunks):
+            rs = rss[ci] + get_brs(i)[None, :]
+            if i < n - 1:
+                xp[pad + o:pad + o + L] = (
+                    (xp[pad + o:pad + o + L].astype(jnp.float32)
+                     + rs[:, :ch]) * m[o:o + L]).astype(dt)
+            out_s[o:o + L] = out_s[o:o + L] + rs[:, ch:]
+
+    out = out_s[...] * m
+    outs = jnp.dot(out.astype(dt), we_v,
+                   preferred_element_type=jnp.float32) + be_v[None, :]
+    mean, logs = outs[:, :c2], outs[:, c2:]
+    if reverse:
+        z = (xbv - mean) * jnp.exp(-logs) * m
+    else:
+        z = (mean + jnp.exp(logs) * xbv) * m
+    return z, logs
+
+
 def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
                  p: int, reverse: bool, has_pitch: bool, stream: bool,
                  flowstep: bool = False, nc: int = 2):
@@ -106,70 +179,28 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
             return pltpu.make_async_copy(w_rs.at[i], wrs_buf.at[slot],
                                          sems.at[1, slot])
 
+        stream_ctl = None
         if stream:
             dma_in(0, 0).start()
             dma_rs(0, 0).start()
 
-        # start 1×1: h = (x_a @ W_start + b_start) * mask
-        h = jnp.dot(xa_v, ws[...], preferred_element_type=jnp.float32)
-        h = (h + bs[0][None, :]) * m
-
-        xp[...] = jnp.zeros((p + 2 * pad, ch), dt)
-        xp[pad:pad + p] = h.astype(dt)
-
-        base = (p // nc) // 8 * 8
-        chunks = [(ci * base, base) for ci in range(nc - 1)]
-        chunks.append(((nc - 1) * base, p - (nc - 1) * base))
-
-        out_s[...] = jnp.zeros((p, ch), jnp.float32)
-        for i in range(n):
-            if stream:
+            def stream_ctl(i):
                 if i + 1 < n:
                     dma_in(i + 1, (i + 1) % 2).start()
                     dma_rs(i + 1, (i + 1) % 2).start()
                 dma_in(i, i % 2).wait()
                 dma_rs(i, i % 2).wait()
-            w_i = win_buf[i % 2] if stream else w_in[i]
-            w_r = wrs_buf[i % 2] if stream else w_rs[i]
 
-            # phase 1: per-chunk im2col builds interleaved with the conv
-            # matmuls so the VPU build of chunk c+1 overlaps the MXU pass
-            # of chunk c
-            accs = []
-            for (o, L) in chunks:
-                for d in range(k):
-                    xi[o:o + L, d * ch:(d + 1) * ch] = xp[o + d:o + d + L]
-                accs.append(jnp.dot(xi[o:o + L], w_i,
-                                    preferred_element_type=jnp.float32))
-            # phase 2: gates (VPU) interleaved with res/skip matmuls (MXU)
-            rss = []
-            for ci, (o, L) in enumerate(chunks):
-                acc = accs[ci] + jnp.dot(ind[o:o + L], cond[0, i],
-                                         preferred_element_type=jnp.float32)
-                if has_pitch:
-                    acc += jnp.dot(pit[0][o:o + L], wp[i],
-                                   preferred_element_type=jnp.float32)
-                g = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
-                rss.append(jnp.dot(g.astype(dt), w_r,
-                                   preferred_element_type=jnp.float32))
-            # phase 3: residual / skip updates (reads of xp all happened in
-            # phase 1, so in-place updates are hazard-free)
-            for ci, (o, L) in enumerate(chunks):
-                rs = rss[ci] + brs[i][None, :]
-                if i < n - 1:
-                    xp[pad + o:pad + o + L] = (
-                        (xp[pad + o:pad + o + L].astype(jnp.float32)
-                         + rs[:, :ch]) * m[o:o + L]).astype(dt)
-                out_s[o:o + L] = out_s[o:o + L] + rs[:, ch:]
-
-        out = out_s[...] * m
-        outs = jnp.dot(out.astype(dt), we[...],
-                       preferred_element_type=jnp.float32) + be[0][None, :]
-        mean, logs = outs[:, :c2], outs[:, c2:]
-        if reverse:
-            z = (xbv - mean) * jnp.exp(-logs) * m
-        else:
-            z = (mean + jnp.exp(logs) * xbv) * m
+        z, logs = _coupling_body(
+            xa_v, xbv, m, dt, n, k, ch, c2, p, pad, _chunks(p, nc),
+            ws[...], bs[0],
+            (lambda i: win_buf[i % 2]) if stream else (lambda i: w_in[i]),
+            (lambda i: wrs_buf[i % 2]) if stream else (lambda i: w_rs[i]),
+            lambda i: brs[i], lambda i: cond[0, i],
+            we[...], be[0], ind, xp, xi, out_s,
+            pit_v=pit[0] if has_pitch else None,
+            get_wp=(lambda i: wp[i]) if has_pitch else None,
+            reverse=reverse, stream_ctl=stream_ctl)
 
         if flowstep:
             if reverse:
@@ -200,6 +231,95 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
             for bi in range(bt):
                 ld[gi, bi] = jnp.sum(lm[bi * r:bi * r + t])
         zb[0] = z.astype(dt)
+
+    return kernel
+
+
+def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
+                      t: int, p: int, s_steps: int, reverse: bool,
+                      has_pitch: bool, nc: int = 2):
+    """The 12-step flow-stack kernel body.
+
+    One grid step = one (batch block, flow step) pair; the flow axis is
+    the innermost grid dimension, so for a fixed batch block the ``s_steps``
+    flow steps run back-to-back with
+
+    * the activation carried in the revisited OUTPUT block (constant-in-j
+      index map → Mosaic keeps it VMEM-resident across the whole flow
+      stack and flushes to HBM once per batch block),
+    * per-step weights delivered by BlockSpec index maps over the stacked
+      ``[S, ...]`` weight arrays — Mosaic double-buffers the next step's
+      weights during the current step's compute (the manual-DMA streaming
+      of the single-step kernel, for free),
+    * the log-determinant accumulated across steps in the SMEM output.
+
+    The per-step math is identical to ``_make_kernel(flowstep=True)``
+    (shared ``_coupling_body``); step order on the inverse pass is
+    reversed by the index maps, not by the kernel.
+    """
+    pad = (k - 1) // 2
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref, m_ref, ind, cond, an, mix = (next(it) for _ in range(6))
+        ldc = None if reverse else next(it)
+        ws, bs, w_in, w_rs, brs, we, be = (next(it) for _ in range(7))
+        if has_pitch:
+            pit, wp = next(it), next(it)
+        zb = next(it)
+        ld = None if reverse else next(it)
+        xp, xi, out_s = next(it), next(it), next(it)
+
+        gi = pl.program_id(0)
+        j = pl.program_id(1)
+        dt = x_ref.dtype
+        m = m_ref[0]                                   # [P, 1] float32
+
+        # seed the VMEM carry from the input on the first flow step
+        @pl.when(j == 0)
+        def _seed():
+            zb[0] = x_ref[0]
+            if not reverse:
+                for bi in range(bt):
+                    ld[gi, bi] = 0.0
+
+        xcur = zb[0]
+        if reverse:
+            xa_v = xcur[:, :c2]
+            xbv = xcur[:, c2:].astype(jnp.float32)
+        else:
+            xv = xcur.astype(jnp.float32)
+            y = (an[0, 1][None, :] + jnp.exp(an[0, 0])[None, :] * xv) * m
+            yd = jnp.dot(y.astype(dt), mix[0],
+                         preferred_element_type=jnp.float32) * m
+            xa_v = yd[:, :c2].astype(dt)
+            xbv = yd[:, c2:]
+
+        z, logs = _coupling_body(
+            xa_v, xbv, m, dt, n, k, ch, c2, p, pad, _chunks(p, nc),
+            ws[0], bs[0, 0],
+            lambda i: w_in[0, i], lambda i: w_rs[0, i],
+            lambda i: brs[0, i], lambda i: cond[0, 0, i],
+            we[0], be[0, 0], ind, xp, xi, out_s,
+            pit_v=pit[0] if has_pitch else None,
+            get_wp=(lambda i: wp[0, i]) if has_pitch else None,
+            reverse=reverse)
+
+        if reverse:
+            # coupling⁻¹ done; undo the 1×1 mix then ActNorm
+            y = jnp.concatenate([xa_v.astype(jnp.float32), z], axis=1)
+            yd = jnp.dot(y.astype(dt), mix[0],
+                         preferred_element_type=jnp.float32) * m
+            zfull = (yd - an[0, 1][None, :]) * jnp.exp(-an[0, 0])[None, :] * m
+            zb[0] = zfull.astype(dt)
+        else:
+            zb[0] = jnp.concatenate(
+                [xa_v.astype(jnp.float32), z], axis=1).astype(dt)
+            lm = logs * m
+            for bi in range(bt):
+                ld[gi, bi] = ld[gi, bi] + (
+                    jnp.sum(lm[bi * r:bi * r + t])
+                    + ldc[0, 0] * jnp.sum(m[bi * r:bi * r + t]))
 
     return kernel
 
@@ -531,6 +651,187 @@ def fused_flow_step(
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
+        interpret=interpret,
+    )(*operands)
+
+    z = results[0].reshape(bp, r, c)[:b, :t]
+    if reverse:
+        return z, None
+    return z, results[1].reshape(bp)[:b]
+
+
+def fused_flow_stack(
+    x: jax.Array,
+    mask: jax.Array,
+    weights: Dict[str, jax.Array],
+    cond_bias: jax.Array,
+    pitch: Optional[jax.Array] = None,
+    *,
+    reverse: bool = False,
+    batch_tile: int = 4,
+    row_chunks: int = 2,
+    interpret: bool = False,
+    _skip_shard: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """The WHOLE flow decoder stack (``S`` × ActNorm → inv-1×1 → coupling;
+    reversed order on the inverse pass) as ONE pallas_call — the 12-step
+    megakernel.  Reference hot loop: ``Modules.py:298-309,858-883``.
+
+    ``weights`` is the :func:`fused_flow_step` dict with every array
+    stacked along a leading flow-step axis ``S`` (``ld_const`` becomes
+    ``[S]``); ``cond_bias`` is ``[S, n, B, 2ch]``.  Activations stay
+    VMEM-resident across all ``S`` steps (one HBM write per batch block
+    instead of ``S``), and each step's weights are streamed by Mosaic's
+    automatic block double-buffering over the grid's flow axis.
+
+    bf16 activations only on hardware, like the per-step kernels (Mosaic's
+    single-pass f32 dot breaks the f32 precision policy — module header).
+
+    Returns ``(z [B, T, C], logdet [B] float32 | None)``.
+    """
+    b, t, c = x.shape
+    if not _skip_shard:
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.active_data_mesh(b)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            wkeys = sorted(weights)
+            has_pitch_ = pitch is not None
+
+            def inner(x_, m_, cond_, *rest):
+                pitch_ = rest[0] if has_pitch_ else None
+                w_ = dict(zip(wkeys, rest[1 if has_pitch_ else 0:]))
+                z, ld = fused_flow_stack(
+                    x_, m_, w_, cond_, pitch_, reverse=reverse,
+                    batch_tile=batch_tile, row_chunks=row_chunks,
+                    interpret=interpret, _skip_shard=True)
+                return z if reverse else (z, ld)
+
+            data, rep = P('data'), P()
+            in_specs = ((data, data, P(None, None, 'data'))
+                        + ((data,) if has_pitch_ else ())
+                        + (rep,) * len(wkeys))
+            out_specs = data if reverse else (data, data)
+            args = ((x, mask, cond_bias)
+                    + ((pitch,) if has_pitch_ else ())
+                    + tuple(weights[k_] for k_ in wkeys))
+            result = mesh_lib.data_shard_map(
+                inner, mesh, in_specs=in_specs, out_specs=out_specs)(*args)
+            return (result, None) if reverse else result
+
+    dt = x.dtype
+    c2 = c // 2
+    s_steps, n, k, ch, ch2 = weights['w_in'].shape
+    bt = batch_tile
+    pad_t = (k - 1) // 2
+    r = t + 2 * pad_t
+    p = bt * r
+
+    b_pad = (-b) % bt
+    if b_pad:
+        pad3 = ((0, b_pad), (0, 0), (0, 0))
+        x, mask = jnp.pad(x, pad3), jnp.pad(mask, pad3)
+        cond_bias = jnp.pad(cond_bias, ((0, 0), (0, 0), (0, b_pad), (0, 0)))
+        if pitch is not None:
+            pitch = jnp.pad(pitch, pad3)
+    bp = b + b_pad
+    nb = bp // bt
+
+    x_p = _pack(x, bt, r)
+    m_p = _pack(mask.astype(jnp.float32), bt, r)
+    # [S, n, B, 2ch] → [nb, S, n, bt, 2ch], grouping consecutive samples
+    cond_p = (cond_bias.transpose(2, 0, 1, 3)
+              .reshape(nb, bt, s_steps, n, ch2)
+              .transpose(0, 2, 3, 1, 4).astype(dt))
+    ind = jnp.repeat(jnp.eye(bt, dtype=dt), r, axis=0)           # [P, bt]
+
+    has_pitch = pitch is not None
+    vm = pltpu.VMEM
+
+    # the flow axis: j-th grid step runs flow step j (forward) or
+    # S-1-j (inverse) — the index maps express the order, the kernel
+    # body is direction-agnostic about it
+    if reverse:
+        def step_ix(_, j):
+            return s_steps - 1 - j
+    else:
+        def step_ix(_, j):
+            return j
+
+    def bspec(block, index_map, space=vm):
+        return pl.BlockSpec(block, index_map, memory_space=space)
+
+    whole = pl.BlockSpec(memory_space=vm)
+    an = jnp.stack([weights['an_logs'].astype(jnp.float32),
+                    weights['an_bias'].astype(jnp.float32)],
+                   axis=1)                                       # [S, 2, C]
+    in_specs = [
+        bspec((1, p, c), lambda i, j: (i, 0, 0)),                # x
+        bspec((1, p, 1), lambda i, j: (i, 0, 0)),                # mask
+        whole,                                                   # indicator
+        bspec((1, 1, n, bt, ch2),
+              lambda i, j: (i, step_ix(i, j), 0, 0, 0)),         # cond
+        bspec((1, 2, c), lambda i, j: (step_ix(i, j), 0, 0)),    # an
+        bspec((1, c, c), lambda i, j: (step_ix(i, j), 0, 0)),    # mix_t
+    ]
+    operands = [x_p, m_p, ind, cond_p, an, weights['mix_t'].astype(dt)]
+    if not reverse:
+        in_specs.append(bspec((1, 1), lambda i, j: (step_ix(i, j), 0),
+                              space=pltpu.SMEM))
+        operands.append(
+            jnp.asarray(weights['ld_const'], jnp.float32).reshape(-1, 1))
+    in_specs += [
+        bspec((1, c2, ch), lambda i, j: (step_ix(i, j), 0, 0)),     # w_start
+        bspec((1, 1, ch), lambda i, j: (step_ix(i, j), 0, 0)),      # b_start
+        bspec((1, n, k * ch, ch2),
+              lambda i, j: (step_ix(i, j), 0, 0, 0)),               # w_in
+        bspec((1, n, ch, ch2),
+              lambda i, j: (step_ix(i, j), 0, 0, 0)),               # w_rs
+        bspec((1, n, ch2), lambda i, j: (step_ix(i, j), 0, 0)),     # b_rs
+        bspec((1, ch, c), lambda i, j: (step_ix(i, j), 0, 0)),      # w_end
+        bspec((1, 1, c), lambda i, j: (step_ix(i, j), 0, 0)),       # b_end
+    ]
+    operands += [
+        weights['w_start'].astype(dt),
+        weights['b_start'].astype(jnp.float32).reshape(s_steps, 1, -1),
+        weights['w_in'].astype(dt).reshape(s_steps, n, k * ch, ch2),
+        weights['w_rs'].astype(dt),
+        weights['b_rs'].astype(jnp.float32),
+        weights['w_end'].astype(dt),
+        weights['b_end'].astype(jnp.float32).reshape(s_steps, 1, -1),
+    ]
+    if has_pitch:
+        ps = pitch.shape[-1]
+        in_specs += [bspec((1, p, ps), lambda i, j: (i, 0, 0)),
+                     bspec((1, n, ps, ch2),
+                           lambda i, j: (step_ix(i, j), 0, 0, 0))]
+        operands += [_pack(pitch.astype(dt), bt, r),
+                     weights['w_pitch'].astype(dt)]
+
+    out_shape = [jax.ShapeDtypeStruct((nb, p, c), dt)]
+    # constant-in-j index map → the output block doubles as the VMEM
+    # carry across the flow stack (revisiting semantics)
+    out_specs = [bspec((1, p, c), lambda i, j: (i, 0, 0))]
+    if not reverse:
+        out_shape.append(jax.ShapeDtypeStruct((nb, bt), jnp.float32))
+        out_specs.append(pl.BlockSpec((nb, bt), lambda i, j: (0, 0),
+                                      memory_space=pltpu.SMEM))
+
+    scratch = [pltpu.VMEM((p + 2 * pad_t, ch), dt),
+               pltpu.VMEM((p, k * ch), dt),          # im2col columns
+               pltpu.VMEM((p, ch), jnp.float32)]     # skip accumulator
+
+    kernel = _make_mega_kernel(n, k, ch, c2, bt, r, t, p, s_steps, reverse,
+                               has_pitch, nc=row_chunks)
+    results = pl.pallas_call(
+        kernel,
+        grid=(nb, s_steps),
+        in_specs=in_specs,
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
         interpret=interpret,
     )(*operands)
 

@@ -176,3 +176,70 @@ def test_fused_flow_step_matches_flax(reverse):
                                reverse=not reverse)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize('conditioning', ['none', 'speaker', 'both', 'pitch'])
+@pytest.mark.parametrize('reverse', [False, True])
+def test_mega_flow_stack_matches_flax(conditioning, reverse):
+    """The 12-step megakernel (one pallas_call for the whole decoder)
+    agrees with the sequential flax FlowDecoder on shared params — both
+    directions, all conditioning modes, ragged masks."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(11)
+    b, t, c = 3, 12, 8
+    x, mask = _inputs(rng, b, t, c, [12, 8, 4])
+
+    kwargs = {}
+    if conditioning in ('speaker', 'both'):
+        kwargs['speaker'] = jnp.asarray(
+            rng.standard_normal((b, 16)).astype(np.float32))
+    if conditioning == 'both':
+        kwargs['prosody'] = jnp.asarray(
+            rng.standard_normal((b, 16)).astype(np.float32))
+    if conditioning == 'pitch':
+        kwargs['pitch'] = jnp.asarray(
+            rng.standard_normal((b, t)).astype(np.float32)) * mask[..., 0]
+
+    flax_dec = D.FlowDecoder(_with_backend(cfg, 'flax'))
+    mega_dec = D.FlowDecoder(_with_backend(cfg, 'mega_interpret'))
+    params = flax_dec.init(jax.random.PRNGKey(5), x, mask, **kwargs)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.03 * np.float32(rng.standard_normal(p.shape)),
+        params)
+
+    z_ref, ld_ref, _ = flax_dec.apply(params, x, mask, reverse=reverse,
+                                      **kwargs)
+    z_meg, ld_meg, _ = mega_dec.apply(params, x, mask, reverse=reverse,
+                                      **kwargs)
+    np.testing.assert_allclose(np.asarray(z_meg), np.asarray(z_ref),
+                               rtol=3e-5, atol=3e-6)
+    if reverse:
+        assert ld_ref is None and ld_meg is None
+    else:
+        np.testing.assert_allclose(np.asarray(ld_meg), np.asarray(ld_ref),
+                                   rtol=3e-5, atol=1e-4)
+
+
+def test_mega_flow_stack_roundtrip_and_param_tree():
+    """mega init declares the identical parameter tree as flax, and the
+    inverse megakernel pass restores the forward pass's input."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(12)
+    x, mask = _inputs(rng, 2, 12, 8, [12, 6])
+
+    mega_dec = D.FlowDecoder(_with_backend(cfg, 'mega_interpret'))
+    flax_dec = D.FlowDecoder(_with_backend(cfg, 'flax'))
+    params = mega_dec.init(jax.random.PRNGKey(6), x, mask)
+    flax_params = flax_dec.init(jax.random.PRNGKey(6), x, mask)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(flax_params))
+    for a, b_ in zip(jax.tree_util.tree_leaves(params),
+                     jax.tree_util.tree_leaves(flax_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_))
+
+    z, ld, _ = mega_dec.apply(params, x, mask)
+    back, _, _ = mega_dec.apply(params, z, mask, reverse=True)
+    np.testing.assert_allclose(np.asarray(back * mask),
+                               np.asarray(x * mask),
+                               rtol=1e-4, atol=1e-5)
+    assert np.isfinite(np.asarray(ld)).all()

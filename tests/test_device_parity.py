@@ -17,7 +17,8 @@ Covers, on the actual chip:
   flax/XLA oracle on shared params — bf16 (the only hardware dtype; the
   f32 gate deliberately resolves to flax, and THAT resolution is asserted
   here too so the gate can never silently rot);
-* the full 12-step FlowDecoder both directions;
+* the full 12-step FlowDecoder both directions, for both the per-step
+  'fused' kernel and the 12-step 'mega' flow-stack kernel;
 * ``maximum_path_pallas`` vs the scan and numpy oracles — bit-equality;
 * round-trip invertibility of the fused reverse against the flax forward.
 """
@@ -73,32 +74,35 @@ def _build(module_cls, backend):
     return module_cls(cfg, dtype=jnp.bfloat16)
 
 
-@pytest.mark.parametrize('module_name,tol', [('FlowStep', 0.01),
-                                             ('FlowDecoder', 0.04)])
+@pytest.mark.parametrize('module_name,backend,tol', [
+    ('FlowStep', 'fused', 0.01),
+    ('FlowDecoder', 'fused', 0.04),
+    ('FlowDecoder', 'mega', 0.04),
+])
 @pytest.mark.parametrize('reverse', [False, True])
-def test_fused_matches_flax_on_device(module_name, tol, reverse):
+def test_fused_matches_flax_on_device(module_name, backend, tol, reverse):
     if not _on_tpu():
         pytest.skip('needs the real TPU')
     module_cls = getattr(D, module_name)
     rng, x, mask = _problem()
     params = _shared_params(module_cls, x, mask, rng)
     outs = {}
-    for backend in ('flax', 'fused'):
-        mod = _build(module_cls, backend)
+    for bk in ('flax', backend):
+        mod = _build(module_cls, bk)
         res = jax.jit(mod.apply, static_argnames=('reverse',))(
             params, x, mask, reverse=reverse)
         z, ld = res[0], res[1]
-        outs[backend] = (np.asarray(z, np.float32),
-                         None if ld is None
-                         else np.asarray(ld, np.float32))
-    dz = np.max(np.abs(outs['fused'][0] - outs['flax'][0]))
+        outs[bk] = (np.asarray(z, np.float32),
+                    None if ld is None
+                    else np.asarray(ld, np.float32))
+    dz = np.max(np.abs(outs[backend][0] - outs['flax'][0]))
     scale = np.max(np.abs(outs['flax'][0]))
-    assert dz / scale < tol, (module_name, reverse, dz / scale)
+    assert dz / scale < tol, (module_name, backend, reverse, dz / scale)
     if outs['flax'][1] is not None and np.ndim(outs['flax'][1]) > 0 \
             and not reverse:
-        dld = np.max(np.abs(outs['fused'][1] - outs['flax'][1])
+        dld = np.max(np.abs(outs[backend][1] - outs['flax'][1])
                      / np.maximum(np.abs(outs['flax'][1]), 1.0))
-        assert dld < tol, (module_name, reverse, dld)
+        assert dld < tol, (module_name, backend, reverse, dld)
 
 
 def test_fused_reverse_inverts_flax_forward_on_device():
