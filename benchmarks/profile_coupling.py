@@ -51,15 +51,19 @@ def build(backend, dtype_str):
     return dec, params, x, mask
 
 
-def chained(dec, params, x, mask, reverse, iters):
-    """One jitted dispatch running ``iters`` chained decoder passes."""
+def chained(dec, params, x, mask, reverse, iters, prec=None):
+    """One jitted dispatch running ``iters`` chained decoder passes.
+    ``prec``: matmul-precision scope — the f32 rows run the flax baseline
+    under the selective-precision policy's 'tensorfloat32' (3-pass MXU),
+    the same contraction the kernels' in-kernel decomposition performs."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(x0):
         def body(i, carry):
-            z, _, _ = dec.apply(params, carry, mask, reverse=reverse)
+            with jax.default_matmul_precision(prec or 'default'):
+                z, _, _ = dec.apply(params, carry, mask, reverse=reverse)
             # feed a scaled copy back so the loop cannot be hoisted
             return (z * 0.999 + 1e-4 * i).astype(carry.dtype)
         return jax.lax.fori_loop(0, iters, body, x0)
@@ -89,18 +93,20 @@ def main():
 
     on_tpu = jax.default_backend() == 'tpu'
     for dtype_str in ('bfloat16', 'float32'):
-        # The decoder's hardware gate silently resolves 'fused'/'mega' to
-        # flax off-TPU or at f32 (Mosaic's single-pass f32 dot is wrong at
-        # 2.7e-1 err — models/decoder.py).  Record the RESOLVED backend
-        # and skip the self-comparison rows so the JSON can never be read
-        # as an f32 kernel measurement (ADVICE r2).
-        kernel_ok = on_tpu and dtype_str == 'bfloat16'
+        # Off-TPU the decoder gates resolve 'fused'/'mega' to flax —
+        # record the RESOLVED backend and skip the self-comparison rows
+        # so the JSON can never be misread as a kernel measurement
+        # (ADVICE r2).  On-TPU f32 runs the kernels' in-kernel 3-pass
+        # decomposition (ops/coupling.py) and IS measured.
+        kernel_ok = on_tpu
         # identical params for both backends → direct numeric comparison
         dec_f, params, x, mask = build('flax', dtype_str)
         kernel_backends = ('fused', 'mega') if kernel_ok else ()
+        prec = 'tensorfloat32' if dtype_str == 'float32' else None
         for reverse in (False, True):
             key = f"{dtype_str}/{'reverse' if reverse else 'forward'}"
-            ms_f = chained(dec_f, params, x, mask, reverse, args.iters)
+            ms_f = chained(dec_f, params, x, mask, reverse, args.iters,
+                           prec=prec)
             if not kernel_ok:
                 results['runs'][key] = {
                     'flax_ms': round(ms_f, 3), 'fused_ms': None,
@@ -110,8 +116,11 @@ def main():
                 print(json.dumps({key: results['runs'][key]}), flush=True)
                 continue
             row = {'flax_ms': round(ms_f, 3)}
-            z_f, ld_f, _ = jax.jit(functools.partial(
-                dec_f.apply, reverse=reverse))(params, x, mask)
+            if prec:
+                row['flax_precision'] = prec
+            with jax.default_matmul_precision(prec or 'default'):
+                z_f, ld_f, _ = jax.jit(functools.partial(
+                    dec_f.apply, reverse=reverse))(params, x, mask)
             scale = float(jnp.max(jnp.abs(z_f.astype(jnp.float32)))) or 1.0
             for backend in kernel_backends:
                 dec_k, _, _, _ = build(backend, dtype_str)
@@ -121,7 +130,8 @@ def main():
                                             - z_k.astype(jnp.float32))))
                 ld_err = (float(jnp.max(jnp.abs(ld_f - ld_k)))
                           if ld_f is not None else None)
-                ms_k = chained(dec_k, params, x, mask, reverse, args.iters)
+                ms_k = chained(dec_k, params, x, mask, reverse, args.iters,
+                               prec=prec)
                 row[f'{backend}_ms'] = round(ms_k, 3)
                 row[f'{backend}_speedup'] = round(ms_f / ms_k, 3)
                 row[f'{backend}_max_abs_diff'] = err

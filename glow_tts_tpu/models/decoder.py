@@ -406,12 +406,13 @@ class FlowStep(nn.Module):
         dt = self.dtype or x.dtype
         # 'auto' resolves to flax/XLA (measured fastest after the
         # gather-free mixing fix); 'fused' opts into the Pallas flow-step
-        # kernel (bf16 hardware only — see ops/coupling.py on f32 dots)
+        # kernel (f32 runs the in-kernel 3-pass decomposition —
+        # ops/coupling.py module header)
         fused = deterministic and (
             backend == 'fused_interpret'
             or (backend == 'fused'
                 and jax.default_backend() == 'tpu'
-                and dt == jnp.bfloat16))
+                and dt in (jnp.bfloat16, jnp.float32)))
         if fused:
             return self._fused_step(
                 x, mask, actnorm, invconv, coupling, speaker, prosody,
@@ -506,15 +507,16 @@ class FlowDecoder(nn.Module):
         dt = self.dtype or x.dtype
         # 'mega' runs the WHOLE stack as one Pallas call (grid over flow
         # steps, activations VMEM-resident throughout, weights streamed by
-        # block double-buffering); bf16 hardware only, like 'fused'.  At
-        # init time fall through to the sequential path so each ActNorm's
-        # data-dependent init sees ITS OWN input, not the stack input.
+        # block double-buffering; f32 = in-kernel 3-pass dots + manual
+        # weight DMA).  At init time fall through to the sequential path
+        # so each ActNorm's data-dependent init sees ITS OWN input, not
+        # the stack input.
         mega = (deterministic and not self.is_initializing()
                 and not self.config.tpu.remat_flows
                 and (backend == 'mega_interpret'
                      or (backend == 'mega'
                          and jax.default_backend() == 'tpu'
-                         and dt == jnp.bfloat16)))
+                         and dt in (jnp.bfloat16, jnp.float32))))
         if mega:
             x, logdet_total = self._mega(
                 steps, x, sq_mask, speaker, prosody, pitch, reverse,

@@ -31,13 +31,15 @@ in one ``pallas_call``.  Design notes:
 * fp32 accumulation everywhere (``preferred_element_type``); the affine
   transform and log-determinant are computed in fp32 regardless of the
   activation dtype, matching the repo-wide "fp32 for flow logdets" policy.
-* **bf16 activations only on hardware.**  Mosaic lowers f32 dots to a
-  single bf16 MXU pass by default (measured ~2.7e-1 max error on a K=512
-  matmul vs fp32), which would silently break the f32 selective-precision
-  inference policy — so the integration (``models/decoder.py``) routes
-  f32 activations to the flax path, whose XLA dots honor the
-  ``tensorfloat32`` 3-pass policy.  (The interpreter path is exact f32 —
-  CPU parity tests run there.)
+* **f32 via in-kernel 3-pass decomposition.**  Mosaic lowers f32 dots to
+  a single bf16 MXU pass by default (measured ~2.7e-1 max error on a
+  K=512 matmul vs fp32), which would silently break the f32
+  selective-precision inference policy — so with f32 activations every
+  kernel dot runs the explicit bf16_3x split (:func:`_mk_dot`), the same
+  3-pass contraction XLA's ``tensorfloat32`` policy performs, at 3× the
+  MXU passes.  (The interpreter computes exact f32 — CPU parity tests
+  pin the exact path by default and opt into ``mxu3x=True`` to test the
+  decomposition's accuracy.)
 
 The kernel reproduces the deterministic (no-dropout) path of the reference
 coupling bit-for-bit in f32; training keeps the flax path (dropout RNG
@@ -62,19 +64,53 @@ def _chunks(p: int, nc: int):
     return out
 
 
+def _mk_dot(mxu3x: bool):
+    """Return the kernel's matmul primitive.
+
+    ``mxu3x=False``: one MXU pass with fp32 accumulation (exact for bf16
+    operands — the bf16 configuration).
+
+    ``mxu3x=True``: the 3-pass bf16 decomposition of an f32×f32 product
+    (``a·b ≈ a_hi·b_hi + a_hi·b_lo + a_lo·b_hi`` with
+    ``x_hi = bf16(x), x_lo = bf16(x - x_hi)``) — the same split XLA's
+    ``tensorfloat32``/HIGH precision performs for f32 dots on TPU, done
+    manually because Mosaic lowers an f32 ``jnp.dot`` to a SINGLE bf16
+    pass (measured ~2.7e-1 max err at K=512).  This is what lets the
+    fused kernels serve the f32+tf32 selective-precision inference
+    policy (config ``tpu.inference_*_matmul_precision``)."""
+    if not mxu3x:
+        return functools.partial(jnp.dot,
+                                 preferred_element_type=jnp.float32)
+
+    def dot3(a, b):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+    return dot3
+
+
 def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
                    ws_v, bs_v, get_win, get_wrs, get_brs, get_cond,
                    we_v, be_v, ind, xp, xi, out_s,
                    pit_v=None, get_wp=None, reverse=False,
-                   stream_ctl=None):
+                   stream_ctl=None, dot=None):
     """The shared WaveNet-coupling core: start 1×1 → ``n`` gated layers →
     end 1×1 → affine transform.  Weight access goes through getters so the
     same core serves VMEM-resident weights, manually DMA-streamed weights
     (the f32 single-step configuration) and grid-block-streamed weights
-    (the 12-step stack kernel).  Returns ``(z_b, logs)`` both ``[P, c2]``
-    fp32."""
+    (the 12-step stack kernel); the matmul primitive comes from
+    :func:`_mk_dot` (single-pass bf16 or the 3-pass f32 decomposition).
+    Returns ``(z_b, logs)`` both ``[P, c2]`` fp32."""
+    if dot is None:
+        dot = _mk_dot(False)
     # start 1×1: h = (x_a @ W_start + b_start) * mask
-    h = jnp.dot(xa_v, ws_v, preferred_element_type=jnp.float32)
+    h = dot(xa_v, ws_v)
     h = (h + bs_v[None, :]) * m
 
     xp[...] = jnp.zeros((p + 2 * pad, ch), dt)
@@ -94,19 +130,15 @@ def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
         for (o, L) in chunks:
             for d in range(k):
                 xi[o:o + L, d * ch:(d + 1) * ch] = xp[o + d:o + d + L]
-            accs.append(jnp.dot(xi[o:o + L], w_i,
-                                preferred_element_type=jnp.float32))
+            accs.append(dot(xi[o:o + L], w_i))
         # phase 2: gates (VPU) interleaved with res/skip matmuls (MXU)
         rss = []
         for ci, (o, L) in enumerate(chunks):
-            acc = accs[ci] + jnp.dot(ind[o:o + L], get_cond(i),
-                                     preferred_element_type=jnp.float32)
+            acc = accs[ci] + dot(ind[o:o + L], get_cond(i))
             if pit_v is not None:
-                acc += jnp.dot(pit_v[o:o + L], get_wp(i),
-                               preferred_element_type=jnp.float32)
+                acc += dot(pit_v[o:o + L], get_wp(i))
             g = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])
-            rss.append(jnp.dot(g.astype(dt), w_r,
-                               preferred_element_type=jnp.float32))
+            rss.append(dot(g.astype(dt), w_r))
         # phase 3: residual / skip updates (reads of xp all happened in
         # phase 1, so in-place updates are hazard-free)
         for ci, (o, L) in enumerate(chunks):
@@ -118,8 +150,7 @@ def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
             out_s[o:o + L] = out_s[o:o + L] + rs[:, ch:]
 
     out = out_s[...] * m
-    outs = jnp.dot(out.astype(dt), we_v,
-                   preferred_element_type=jnp.float32) + be_v[None, :]
+    outs = dot(out.astype(dt), we_v) + be_v[None, :]
     mean, logs = outs[:, :c2], outs[:, c2:]
     if reverse:
         z = (xbv - mean) * jnp.exp(-logs) * m
@@ -130,8 +161,9 @@ def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
 
 def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
                  p: int, reverse: bool, has_pitch: bool, stream: bool,
-                 flowstep: bool = False, nc: int = 2):
+                 flowstep: bool = False, nc: int = 2, mxu3x: bool = False):
     pad = (k - 1) // 2
+    dot = _mk_dot(mxu3x)
 
     def kernel(*refs):
         it = iter(refs)
@@ -163,8 +195,7 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
                 # the block-sparse mixing folded in) → coupling halves
                 xv = x_ref[0].astype(jnp.float32)
                 y = (an[1][None, :] + jnp.exp(an[0])[None, :] * xv) * m
-                yd = jnp.dot(y.astype(dt), mix[...],
-                             preferred_element_type=jnp.float32) * m
+                yd = dot(y.astype(dt), mix[...]) * m
                 xa_v = yd[:, :c2].astype(dt)
                 xbv = yd[:, c2:]
         else:
@@ -200,14 +231,13 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
             we[...], be[0], ind, xp, xi, out_s,
             pit_v=pit[0] if has_pitch else None,
             get_wp=(lambda i: wp[i]) if has_pitch else None,
-            reverse=reverse, stream_ctl=stream_ctl)
+            reverse=reverse, stream_ctl=stream_ctl, dot=dot)
 
         if flowstep:
             if reverse:
                 # coupling⁻¹ done; undo the 1×1 mix then ActNorm
                 y = jnp.concatenate([xa_v.astype(jnp.float32), z], axis=1)
-                yd = jnp.dot(y.astype(dt), mix[...],
-                             preferred_element_type=jnp.float32) * m
+                yd = dot(y.astype(dt), mix[...]) * m
                 zfull = (yd - an[1][None, :]) * jnp.exp(-an[0])[None, :] * m
                 zb[0] = zfull.astype(dt)
             else:
@@ -237,7 +267,8 @@ def _make_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int, t: int,
 
 def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
                       t: int, p: int, s_steps: int, reverse: bool,
-                      has_pitch: bool, nc: int = 2):
+                      has_pitch: bool, nc: int = 2, mxu3x: bool = False,
+                      stream: bool = False):
     """The 12-step flow-stack kernel body.
 
     One grid step = one (batch block, flow step) pair; the flow axis is
@@ -256,8 +287,15 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
     The per-step math is identical to ``_make_kernel(flowstep=True)``
     (shared ``_coupling_body``); step order on the inverse pass is
     reversed by the index maps, not by the kernel.
+
+    ``stream=True`` (the f32 configuration): the big per-layer weights
+    (``w_in``/``w_rs``) stay whole in HBM (``pl.ANY``) and are manually
+    double-buffer DMA-streamed per (step, layer) — the f32 weight blocks
+    that BlockSpec streaming would double-buffer (~14 MB) do not fit the
+    ~16 MB VMEM next to the f32 im2col scratch.
     """
     pad = (k - 1) // 2
+    dot = _mk_dot(mxu3x)
 
     def kernel(*refs):
         it = iter(refs)
@@ -269,11 +307,38 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
         zb = next(it)
         ld = None if reverse else next(it)
         xp, xi, out_s = next(it), next(it), next(it)
+        if stream:
+            win_buf, wrs_buf, sems = next(it), next(it), next(it)
 
         gi = pl.program_id(0)
         j = pl.program_id(1)
         dt = x_ref.dtype
         m = m_ref[0]                                   # [P, 1] float32
+
+        stream_ctl = None
+        if stream:
+            # actual flow-step index (the weight index maps express the
+            # inverse order for the BlockSpec'd operands; the manual DMAs
+            # must do the same)
+            sj = (s_steps - 1 - j) if reverse else j
+
+            def dma_in(i, slot):
+                return pltpu.make_async_copy(
+                    w_in.at[sj, i], win_buf.at[slot], sems.at[0, slot])
+
+            def dma_rs(i, slot):
+                return pltpu.make_async_copy(
+                    w_rs.at[sj, i], wrs_buf.at[slot], sems.at[1, slot])
+
+            dma_in(0, 0).start()
+            dma_rs(0, 0).start()
+
+            def stream_ctl(i):
+                if i + 1 < n:
+                    dma_in(i + 1, (i + 1) % 2).start()
+                    dma_rs(i + 1, (i + 1) % 2).start()
+                dma_in(i, i % 2).wait()
+                dma_rs(i, i % 2).wait()
 
         # seed the VMEM carry from the input on the first flow step
         @pl.when(j == 0)
@@ -290,26 +355,25 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
         else:
             xv = xcur.astype(jnp.float32)
             y = (an[0, 1][None, :] + jnp.exp(an[0, 0])[None, :] * xv) * m
-            yd = jnp.dot(y.astype(dt), mix[0],
-                         preferred_element_type=jnp.float32) * m
+            yd = dot(y.astype(dt), mix[0]) * m
             xa_v = yd[:, :c2].astype(dt)
             xbv = yd[:, c2:]
 
         z, logs = _coupling_body(
             xa_v, xbv, m, dt, n, k, ch, c2, p, pad, _chunks(p, nc),
             ws[0], bs[0, 0],
-            lambda i: w_in[0, i], lambda i: w_rs[0, i],
+            (lambda i: win_buf[i % 2]) if stream else (lambda i: w_in[0, i]),
+            (lambda i: wrs_buf[i % 2]) if stream else (lambda i: w_rs[0, i]),
             lambda i: brs[0, i], lambda i: cond[0, 0, i],
             we[0], be[0, 0], ind, xp, xi, out_s,
             pit_v=pit[0] if has_pitch else None,
             get_wp=(lambda i: wp[0, i]) if has_pitch else None,
-            reverse=reverse)
+            reverse=reverse, stream_ctl=stream_ctl, dot=dot)
 
         if reverse:
             # coupling⁻¹ done; undo the 1×1 mix then ActNorm
             y = jnp.concatenate([xa_v.astype(jnp.float32), z], axis=1)
-            yd = jnp.dot(y.astype(dt), mix[0],
-                         preferred_element_type=jnp.float32) * m
+            yd = dot(y.astype(dt), mix[0]) * m
             zfull = (yd - an[0, 1][None, :]) * jnp.exp(-an[0, 0])[None, :] * m
             zb[0] = zfull.astype(dt)
         else:
@@ -345,6 +409,7 @@ def fused_coupling(
     batch_tile: int = 4,
     row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
+    mxu3x: Optional[bool] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -384,7 +449,7 @@ def fused_coupling(
                 z, ld = fused_coupling(
                     xa_, xb_, m_, w_, cond_, pitch_, reverse=reverse,
                     batch_tile=batch_tile, row_chunks=row_chunks,
-                    stream_weights=stream_weights,
+                    stream_weights=stream_weights, mxu3x=mxu3x,
                     interpret=interpret, _skip_shard=True)
                 return z if reverse else (z, ld)
 
@@ -404,6 +469,10 @@ def fused_coupling(
     n, k, ch, ch2 = weights['w_in'].shape
     if stream_weights is None:
         stream_weights = dt == jnp.float32
+    if mxu3x is None:
+        # hardware f32 dots need the 3-pass decomposition (the interpreter
+        # computes exact f32 — keep it that way for CPU parity tests)
+        mxu3x = dt == jnp.float32 and not interpret
     bt = batch_tile
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
@@ -479,7 +548,7 @@ def fused_coupling(
                     pltpu.SemaphoreType.DMA((2, 2))]
 
     kernel = _make_kernel(n, k, ch, c2, bt, r, t, p, reverse, has_pitch,
-                          stream_weights, nc=row_chunks)
+                          stream_weights, nc=row_chunks, mxu3x=mxu3x)
     results = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -508,6 +577,7 @@ def fused_flow_step(
     batch_tile: int = 4,
     row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
+    mxu3x: Optional[bool] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -540,7 +610,7 @@ def fused_flow_step(
                 z, ld = fused_flow_step(
                     x_, m_, w_, cond_, pitch_, reverse=reverse,
                     batch_tile=batch_tile, row_chunks=row_chunks,
-                    stream_weights=stream_weights,
+                    stream_weights=stream_weights, mxu3x=mxu3x,
                     interpret=interpret, _skip_shard=True)
                 return z if reverse else (z, ld)
 
@@ -561,6 +631,8 @@ def fused_flow_step(
     n, k, ch, ch2 = weights['w_in'].shape
     if stream_weights is None:
         stream_weights = dt == jnp.float32
+    if mxu3x is None:
+        mxu3x = dt == jnp.float32 and not interpret
     bt = batch_tile
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
@@ -643,7 +715,8 @@ def fused_flow_step(
                     pltpu.SemaphoreType.DMA((2, 2))]
 
     kernel = _make_kernel(n, k, ch, c2, bt, r, t, p, reverse, has_pitch,
-                          stream_weights, flowstep=True, nc=row_chunks)
+                          stream_weights, flowstep=True, nc=row_chunks,
+                          mxu3x=mxu3x)
     results = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -670,6 +743,8 @@ def fused_flow_stack(
     reverse: bool = False,
     batch_tile: int = 4,
     row_chunks: int = 2,
+    stream_weights: Optional[bool] = None,
+    mxu3x: Optional[bool] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -684,8 +759,10 @@ def fused_flow_stack(
     instead of ``S``), and each step's weights are streamed by Mosaic's
     automatic block double-buffering over the grid's flow axis.
 
-    bf16 activations only on hardware, like the per-step kernels (Mosaic's
-    single-pass f32 dot breaks the f32 precision policy — module header).
+    f32 activations run every dot through the in-kernel bf16_3x
+    decomposition (module header) with the big weight stacks manually
+    DMA-streamed per (step, layer) — their f32 BlockSpec blocks would not
+    fit VMEM next to the f32 im2col scratch.
 
     Returns ``(z [B, T, C], logdet [B] float32 | None)``.
     """
@@ -704,6 +781,7 @@ def fused_flow_stack(
                 z, ld = fused_flow_stack(
                     x_, m_, w_, cond_, pitch_, reverse=reverse,
                     batch_tile=batch_tile, row_chunks=row_chunks,
+                    stream_weights=stream_weights, mxu3x=mxu3x,
                     interpret=interpret, _skip_shard=True)
                 return z if reverse else (z, ld)
 
@@ -722,6 +800,10 @@ def fused_flow_stack(
     dt = x.dtype
     c2 = c // 2
     s_steps, n, k, ch, ch2 = weights['w_in'].shape
+    if stream_weights is None:
+        stream_weights = dt == jnp.float32
+    if mxu3x is None:
+        mxu3x = dt == jnp.float32 and not interpret
     bt = batch_tile
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
@@ -780,13 +862,21 @@ def fused_flow_stack(
                               space=pltpu.SMEM))
         operands.append(
             jnp.asarray(weights['ld_const'], jnp.float32).reshape(-1, 1))
+    if stream_weights:
+        # the big weight stacks stay whole in HBM; the kernel DMA-streams
+        # them per (step, layer) into double buffers
+        win_spec = pl.BlockSpec(memory_space=pl.ANY)
+        wrs_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        win_spec = bspec((1, n, k * ch, ch2),
+                         lambda i, j: (step_ix(i, j), 0, 0, 0))
+        wrs_spec = bspec((1, n, ch, ch2),
+                         lambda i, j: (step_ix(i, j), 0, 0, 0))
     in_specs += [
         bspec((1, c2, ch), lambda i, j: (step_ix(i, j), 0, 0)),     # w_start
         bspec((1, 1, ch), lambda i, j: (step_ix(i, j), 0, 0)),      # b_start
-        bspec((1, n, k * ch, ch2),
-              lambda i, j: (step_ix(i, j), 0, 0, 0)),               # w_in
-        bspec((1, n, ch, ch2),
-              lambda i, j: (step_ix(i, j), 0, 0, 0)),               # w_rs
+        win_spec,                                                   # w_in
+        wrs_spec,                                                   # w_rs
         bspec((1, n, ch2), lambda i, j: (step_ix(i, j), 0, 0)),     # b_rs
         bspec((1, ch, c), lambda i, j: (step_ix(i, j), 0, 0)),      # w_end
         bspec((1, 1, c), lambda i, j: (step_ix(i, j), 0, 0)),       # b_end
@@ -820,9 +910,14 @@ def fused_flow_stack(
     scratch = [pltpu.VMEM((p + 2 * pad_t, ch), dt),
                pltpu.VMEM((p, k * ch), dt),          # im2col columns
                pltpu.VMEM((p, ch), jnp.float32)]     # skip accumulator
+    if stream_weights:
+        scratch += [pltpu.VMEM((2, k * ch, ch2), dt),
+                    pltpu.VMEM((2, ch, ch2), dt),
+                    pltpu.SemaphoreType.DMA((2, 2))]
 
     kernel = _make_mega_kernel(n, k, ch, c2, bt, r, t, p, s_steps, reverse,
-                               has_pitch, nc=row_chunks)
+                               has_pitch, nc=row_chunks, mxu3x=mxu3x,
+                               stream=stream_weights)
     results = pl.pallas_call(
         kernel,
         grid=(nb, s_steps),

@@ -243,3 +243,98 @@ def test_mega_flow_stack_roundtrip_and_param_tree():
                                np.asarray(x * mask),
                                rtol=1e-4, atol=1e-5)
     assert np.isfinite(np.asarray(ld)).all()
+
+
+def _rand_coupling_weights(rng, c2, n, k, ch, c):
+    f32 = jnp.float32
+    return {
+        'w_start': jnp.asarray(rng.standard_normal((c2, ch)), f32) * .3,
+        'b_start': jnp.asarray(rng.standard_normal(ch), f32) * .1,
+        'w_in': jnp.asarray(rng.standard_normal((n, k, ch, 2 * ch)),
+                            f32) * .2,
+        'w_rs': jnp.asarray(rng.standard_normal((n, ch, 2 * ch)), f32) * .2,
+        'b_rs': jnp.asarray(rng.standard_normal((n, 2 * ch)), f32) * .1,
+        'w_end': jnp.asarray(rng.standard_normal((ch, c)), f32) * .2,
+        'b_end': jnp.asarray(rng.standard_normal(c), f32) * .1,
+    }
+
+
+@pytest.mark.parametrize('reverse', [False, True])
+def test_mxu3x_coupling_accuracy(reverse):
+    """The in-kernel 3-pass bf16 decomposition of f32 dots (what the
+    hardware f32 path runs — Mosaic's native f32 dot is single-pass bf16,
+    ~2.7e-1 err) stays within tf32-class error of the exact-f32
+    interpreter result."""
+    from glow_tts_tpu.ops.coupling import fused_coupling
+
+    rng = np.random.default_rng(21)
+    b, t, c = 3, 14, 16
+    c2, n, k, ch = 8, 2, 5, 16
+    x, mask = _inputs(rng, b, t, c, [14, 9, 4])
+    x_a, x_b = x[..., :c2], x[..., c2:]
+    weights = _rand_coupling_weights(rng, c2, n, k, ch, c)
+    cond = jnp.asarray(rng.standard_normal((n, b, 2 * ch)), jnp.float32) * .2
+
+    z_exact, ld_exact = fused_coupling(x_a, x_b, mask, weights, cond,
+                                       reverse=reverse, interpret=True)
+    z_3x, ld_3x = fused_coupling(x_a, x_b, mask, weights, cond,
+                                 reverse=reverse, mxu3x=True, interpret=True)
+    err = float(np.max(np.abs(np.asarray(z_3x) - np.asarray(z_exact))))
+    # tf32-class (~1e-4 through the whole net); single-pass bf16 would be
+    # two orders of magnitude worse
+    assert err < 1e-3, err
+    if not reverse:
+        np.testing.assert_allclose(np.asarray(ld_3x), np.asarray(ld_exact),
+                                   rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize('reverse', [False, True])
+def test_mxu3x_flow_stack(reverse):
+    """f32 megakernel configuration: 3-pass dots + manual weight
+    streaming.  Streamed and resident weights are bit-equal; both stay
+    within tf32-class error of the exact-f32 interpreter result."""
+    from glow_tts_tpu.ops.coupling import fused_flow_stack
+
+    rng = np.random.default_rng(22)
+    s_steps, b, t, c = 4, 3, 12, 16
+    c2, n, k, ch = 8, 2, 5, 16
+    x, mask = _inputs(rng, b, t, c, [12, 8, 5])
+
+    weights = {}
+    per_step = [_rand_coupling_weights(rng, c2, n, k, ch, c)
+                for _ in range(s_steps)]
+    for key in per_step[0]:
+        weights[key] = jnp.stack([w[key] for w in per_step])
+    weights['an_logs'] = jnp.asarray(
+        rng.standard_normal((s_steps, c)), jnp.float32) * .05
+    weights['an_bias'] = jnp.asarray(
+        rng.standard_normal((s_steps, c)), jnp.float32) * .1
+    # well-conditioned mixing: orthogonal-ish via QR per step
+    mixes = []
+    for _ in range(s_steps):
+        q, _ = np.linalg.qr(rng.standard_normal((c, c)))
+        mixes.append(q.astype(np.float32))
+    weights['mix_t'] = jnp.asarray(np.stack(mixes))
+    weights['ld_const'] = jnp.asarray(
+        rng.standard_normal(s_steps), jnp.float32) * .01
+    cond = jnp.asarray(
+        rng.standard_normal((s_steps, n, b, 2 * ch)), jnp.float32) * .2
+
+    z_exact, ld_exact = fused_flow_stack(x, mask, weights, cond,
+                                         reverse=reverse, interpret=True)
+    outs = {}
+    for label, stream in (('resident', False), ('streamed', True)):
+        outs[label] = fused_flow_stack(x, mask, weights, cond,
+                                       reverse=reverse, mxu3x=True,
+                                       stream_weights=stream, interpret=True)
+    np.testing.assert_array_equal(np.asarray(outs['streamed'][0]),
+                                  np.asarray(outs['resident'][0]))
+    err = float(np.max(np.abs(np.asarray(outs['resident'][0])
+                              - np.asarray(z_exact))))
+    assert err < 3e-3, err
+    if not reverse:
+        np.testing.assert_array_equal(np.asarray(outs['streamed'][1]),
+                                      np.asarray(outs['resident'][1]))
+        np.testing.assert_allclose(np.asarray(outs['resident'][1]),
+                                   np.asarray(ld_exact),
+                                   rtol=1e-3, atol=2e-3)
