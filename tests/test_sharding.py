@@ -190,3 +190,36 @@ def test_fused_coupling_shard_mapped_under_mesh_matches_unwrapped():
         )(x_a, x_b, mask, w, cond)
     np.testing.assert_array_equal(np.asarray(z_sh), np.asarray(z_ref))
     np.testing.assert_array_equal(np.asarray(ld_sh), np.asarray(ld_ref))
+
+
+def test_mega_flow_stack_shard_mapped_under_mesh_matches_unwrapped():
+    """The 12-step megakernel under an ambient mesh shard_maps over
+    'data' (weights replicated, batch split) — bit-equal to unwrapped."""
+    from glow_tts_tpu.ops.coupling import fused_flow_stack
+    rng = np.random.default_rng(13)
+    s_steps, b, t, c = 3, 8, 10, 16
+    c2, ch, n, k = 8, 16, 2, 5
+    mk = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32) * 0.2
+    w = {'w_start': mk(s_steps, c2, ch), 'b_start': mk(s_steps, ch),
+         'w_in': mk(s_steps, n, k, ch, 2 * ch),
+         'w_rs': mk(s_steps, n, ch, 2 * ch), 'b_rs': mk(s_steps, n, 2 * ch),
+         'w_end': mk(s_steps, ch, c), 'b_end': mk(s_steps, c),
+         'an_logs': mk(s_steps, c) * 0.2, 'an_bias': mk(s_steps, c),
+         'mix_t': jnp.asarray(np.stack(
+             [np.linalg.qr(rng.standard_normal((c, c)))[0]
+              for _ in range(s_steps)]), jnp.float32),
+         'ld_const': mk(s_steps) * 0.1}
+    cond = mk(s_steps, n, b, 2 * ch)
+    mask = (jnp.arange(t)[None, :, None]
+            < jnp.asarray([10, 8, 6, 10, 3, 10, 9, 2])[:, None, None]
+            ).astype(jnp.float32)
+    x = mk(b, t, c) * mask
+
+    z_ref, ld_ref = fused_flow_stack(x, mask, w, cond, interpret=True)
+    mesh = mesh_lib.make_mesh(tiny_config())
+    with mesh_lib.activate_mesh(mesh):
+        z_sh, ld_sh = jax.jit(
+            lambda *a: fused_flow_stack(*a, interpret=True)
+        )(x, mask, w, cond)
+    np.testing.assert_array_equal(np.asarray(z_sh), np.asarray(z_ref))
+    np.testing.assert_array_equal(np.asarray(ld_sh), np.asarray(ld_ref))
