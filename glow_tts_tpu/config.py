@@ -274,16 +274,19 @@ class TPUConfig:
     mel_bucket: int = 128
     # 'pallas' | 'scan' | 'cpp' | 'numpy' — monotonic alignment search backend.
     mas_backend: str = 'pallas'
-    # Flow-step backend for the deterministic (no-dropout) path:
+    # Flow-decoder backend:
     # 'auto' → the fastest measured backend; 'flax' → plain XLA (with the
     # gather-free mixing matrix: 12-step decoder 4.9 ms @ batch 32 × 384
     # squeezed frames, v5e); 'fused' → the per-step Pallas flow-step
     # kernel (bf16 compute only, measured ~8 % behind XLA); 'mega' → the
     # 12-step flow-STACK megakernel (one pallas_call for the whole
     # decoder, activations VMEM-resident across steps, per-step weights
-    # streamed by grid-block double-buffering; bf16 compute only);
-    # '*_interpret' variants run the Pallas interpreter (CPU parity
-    # tests).  Training's dropout path always uses flax.
+    # streamed by grid-block double-buffering; f32 inference runs the
+    # in-kernel 3-pass dots).  Under 'mega', TRAINING also runs the
+    # megakernel pair (forward with in-kernel hash dropout + the
+    # hand-written Pallas backward, ops/coupling_grad.py; bf16 hardware
+    # path).  '*_interpret' variants run the Pallas interpreter (CPU
+    # parity tests).
     coupling_backend: str = 'auto'
     # XLA matmul precision: 'default' (fast, bf16-input MXU passes; mel MAE
     # vs the fp32 CPU reference ≈ 8e-3) or 'highest' (multi-pass fp32 on the

@@ -292,7 +292,8 @@ class AffineCoupling(nn.Module):
             # hand the packed kernel weights + conditioning bias to a
             # fused caller one level up (FlowStep)
             return self._gather(x_a, mask, start_mod, wavenet, end_mod,
-                                speaker, prosody, pitch)
+                                speaker, prosody, pitch,
+                                split_bias=return_params == 'split_bias')
 
         backend = self.config.tpu.coupling_backend
         # hardware fused path is bf16-only: Mosaic's default f32 dot is a
@@ -324,9 +325,16 @@ class AffineCoupling(nn.Module):
         return jnp.concatenate([x_a, x_b], axis=-1), logdet
 
     def _gather(self, x_a, mask, start_mod, wavenet, end_mod,
-                speaker, prosody, pitch):
+                speaker, prosody, pitch, split_bias=False):
         """Create the identical parameter tree and pack the effective
-        kernels + per-layer conditioning bias for ``ops/coupling.py``."""
+        kernels + per-layer conditioning bias for ``ops/coupling.py``.
+
+        ``split_bias=True`` (the train-direction kernel,
+        ``ops/coupling_grad.py``): the in-conv bias stays under its own
+        ``b_in`` key — dropout hits conv+bias BEFORE the conditioning
+        adds (reference ``Modules.py:858-869``) — and the returned cond
+        carries only the post-dropout projections (``None`` when there
+        are none, i.e. Vanilla mode)."""
         ch = self.config.decoder.affine_coupling.calc_channels
         b = x_a.shape[0]
         c = 2 * x_a.shape[-1]
@@ -337,7 +345,12 @@ class AffineCoupling(nn.Module):
                                return_params=True)
 
         n, ch2 = wn['b_in'].shape
-        cond = jnp.broadcast_to(wn['b_in'][:, None, :], (n, b, ch2))
+        if split_bias:
+            cond = (jnp.zeros((n, b, ch2), jnp.float32)
+                    if (speaker is not None or prosody is not None
+                        or pitch is not None) else None)
+        else:
+            cond = jnp.broadcast_to(wn['b_in'][:, None, :], (n, b, ch2))
         if speaker is not None:
             cond = cond + (jnp.einsum('bd,nds->nbs',
                                       speaker.astype(jnp.float32),
@@ -356,6 +369,8 @@ class AffineCoupling(nn.Module):
             'w_in': wn['w_in'], 'w_rs': wn['w_rs'], 'b_rs': wn['b_rs'],
             'w_end': w_end, 'b_end': b_end,
         }
+        if split_bias:
+            weights['b_in'] = wn['b_in']
         if pitch is not None:
             weights['w_pitch'] = wn['w_pitch']
         return weights, cond
@@ -399,8 +414,10 @@ class FlowStep(nn.Module):
         if return_params:
             # hand this step's fused weight dict + conditioning bias to the
             # 12-step stack kernel one level up (FlowDecoder)
-            return self._fused_params(x, mask, actnorm, invconv, coupling,
-                                      speaker, prosody, pitch, reverse)
+            return self._fused_params(
+                x, mask, actnorm, invconv, coupling, speaker, prosody,
+                pitch, reverse,
+                split_bias=return_params == 'split_bias')
 
         backend = self.config.tpu.coupling_backend
         dt = self.dtype or x.dtype
@@ -435,16 +452,20 @@ class FlowStep(nn.Module):
         return x, logdet_total
 
     def _fused_params(self, x, mask, actnorm, invconv, coupling,
-                      speaker, prosody, pitch, reverse):
+                      speaker, prosody, pitch, reverse,
+                      split_bias=False):
         """Declare the identical parameter tree and pack this step's
         effective weights (+ the folded ActNorm/mixing terms) for the
-        fused flow-step / flow-stack kernels (``ops/coupling.py``)."""
+        fused flow-step / flow-stack kernels (``ops/coupling.py``;
+        ``split_bias`` → the train-direction kernel layout,
+        ``ops/coupling_grad.py``)."""
         c = x.shape[-1]
         s = self.config.decoder.num_split
         logs, bias = actnorm(x, mask, return_params=True)
         w = invconv(x, mask, return_params=True)
-        weights, cond = coupling(x, mask, speaker, prosody, pitch,
-                                 return_params=True)
+        weights, cond = coupling(
+            x, mask, speaker, prosody, pitch,
+            return_params='split_bias' if split_bias else True)
 
         w_use = jnp.linalg.inv(w) if reverse else w
         mixing = InvertibleConv._mixing_matrix(w_use, c, s)
@@ -517,10 +538,25 @@ class FlowDecoder(nn.Module):
                      or (backend == 'mega'
                          and jax.default_backend() == 'tpu'
                          and dt in (jnp.bfloat16, jnp.float32))))
+        # training (the forward flow with WaveNet dropout) has its own
+        # megakernel pair with a hand-written Pallas backward pass
+        # (ops/coupling_grad.py); hardware path is bf16-only — the f32
+        # backward's recompute scratch does not fit VMEM
+        mega_train = (not deterministic and not reverse
+                      and not self.is_initializing()
+                      and not self.config.tpu.remat_flows
+                      and (backend == 'mega_interpret'
+                           or (backend == 'mega'
+                               and jax.default_backend() == 'tpu'
+                               and dt == jnp.bfloat16)))
         if mega:
             x, logdet_total = self._mega(
                 steps, x, sq_mask, speaker, prosody, pitch, reverse,
                 deterministic, interpret=backend == 'mega_interpret')
+        elif mega_train:
+            x, logdet_total = self._mega_train(
+                steps, x, sq_mask, speaker, prosody, pitch,
+                interpret=backend == 'mega_interpret')
         else:
             logdet_total = jnp.zeros((x.shape[0],), jnp.float32)
             for step in (reversed(steps) if reverse else steps):
@@ -558,4 +594,39 @@ class FlowDecoder(nn.Module):
                                  interpret=interpret)
         if ld is None:
             ld = jnp.zeros((x.shape[0],), jnp.float32)
+        return z.astype(x.dtype), ld
+
+    def _mega_train(self, steps, x, mask, speaker, prosody, pitch,
+                    interpret):
+        """The megakernel's TRAIN twin: forward flow + exact logdet +
+        in-kernel WaveNet dropout, differentiated by the hand-written
+        Pallas backward megakernel (``ops/coupling_grad.py``).  Weight
+        layout = the deterministic stack's, with the in-conv bias under
+        its own key (dropout order, reference ``Modules.py:858-869``)."""
+        import numpy as np
+        from glow_tts_tpu.ops.coupling_grad import fused_flow_stack_train
+
+        gathered = [
+            step(x, mask, speaker, prosody, pitch, False, False,
+                 'split_bias')
+            for step in steps
+        ]
+        stacked = {
+            key: jnp.stack([w[key] for w, _ in gathered])
+            for key in gathered[0][0]
+        }
+        conds = [c for _, c in gathered]
+        cond = None if conds[0] is None else jnp.stack(conds)
+
+        key = self.make_rng('dropout')
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.key_data(key)
+        kd = key.reshape(-1).astype(jnp.uint32)
+        seed = (kd[0] ^ (kd[-1] * np.uint32(0x9E3779B9))).astype(jnp.int32)
+
+        dt = self.dtype or x.dtype
+        rate = self.config.decoder.affine_coupling.wavenet.dropout_rate
+        z, ld = fused_flow_stack_train(
+            x.astype(dt), mask, stacked, cond, pitch,
+            seed=seed, dropout_rate=rate, interpret=interpret)
         return z.astype(x.dtype), ld

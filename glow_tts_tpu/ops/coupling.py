@@ -99,13 +99,23 @@ def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
                    ws_v, bs_v, get_win, get_wrs, get_brs, get_cond,
                    we_v, be_v, ind, xp, xi, out_s,
                    pit_v=None, get_wp=None, reverse=False,
-                   stream_ctl=None, dot=None):
+                   stream_ctl=None, dot=None,
+                   get_bin=None, get_drop=None):
     """The shared WaveNet-coupling core: start 1×1 → ``n`` gated layers →
     end 1×1 → affine transform.  Weight access goes through getters so the
     same core serves VMEM-resident weights, manually DMA-streamed weights
     (the f32 single-step configuration) and grid-block-streamed weights
     (the 12-step stack kernel); the matmul primitive comes from
     :func:`_mk_dot` (single-pass bf16 or the 3-pass f32 decomposition).
+
+    Training (``get_drop`` set): dropout is applied to the in-conv output
+    *including its bias* — ``get_bin(i)`` [1, 2ch] f32 — before the
+    conditioning adds, matching the reference order
+    (``Modules.py:858-869``); ``get_cond`` then carries ONLY the
+    post-dropout conditioning projections and may be ``None`` (Vanilla).
+    ``get_drop(i, o, L)`` returns the {0, 1/(1−rate)} keep-scale block
+    for rows ``o..o+L`` (``ops/dropmask.py``).
+
     Returns ``(z_b, logs)`` both ``[P, c2]`` fp32."""
     if dot is None:
         dot = _mk_dot(False)
@@ -134,7 +144,16 @@ def _coupling_body(xa_v, xbv, m, dt, n, k, ch, c2, p, pad, chunks,
         # phase 2: gates (VPU) interleaved with res/skip matmuls (MXU)
         rss = []
         for ci, (o, L) in enumerate(chunks):
-            acc = accs[ci] + dot(ind[o:o + L], get_cond(i))
+            if get_bin is not None:
+                # train formulation: conv bias separate, dropout on
+                # conv+bias, conditioning added after (may be absent)
+                acc = accs[ci] + get_bin(i)
+                if get_drop is not None:
+                    acc = acc * get_drop(i, o, L)
+                if get_cond is not None:
+                    acc = acc + dot(ind[o:o + L], get_cond(i))
+            else:
+                acc = accs[ci] + dot(ind[o:o + L], get_cond(i))
             if pit_v is not None:
                 acc += dot(pit_v[o:o + L], get_wp(i))
             g = jnp.tanh(acc[:, :ch]) * jax.nn.sigmoid(acc[:, ch:])

@@ -187,3 +187,59 @@ def test_fast_dropout_statistics_on_device():
     kept = y[y != 0]
     assert abs(drop_frac - 0.1) < 0.01, drop_frac
     np.testing.assert_allclose(kept, 1.0 / 0.9, rtol=1e-2)
+
+
+def test_train_megakernel_grads_on_device():
+    """The train-direction megakernel pair (ops/coupling_grad.py) on the
+    real chip: rate-0 loss and every parameter gradient match the flax
+    path's autodiff at bf16 tolerance; with dropout the masks are
+    deterministic per seed and seed-sensitive."""
+    if not _on_tpu():
+        pytest.skip('needs the real TPU')
+    import dataclasses
+    import jax
+
+    rng, x, mask = _problem(seed=13)
+
+    def build(backend, rate):
+        cfg = load_config({'Mode': 'Vanilla',
+                           'TPU': {'coupling_backend': backend,
+                                   'compute_dtype': 'bfloat16'}})
+        wn = dataclasses.replace(cfg.decoder.affine_coupling.wavenet,
+                                 dropout_rate=rate)
+        ac = dataclasses.replace(cfg.decoder.affine_coupling, wavenet=wn)
+        return D.FlowDecoder(dataclasses.replace(
+            cfg, decoder=dataclasses.replace(
+                cfg.decoder, affine_coupling=ac)), dtype=jnp.bfloat16)
+
+    params = _shared_params(D.FlowDecoder, x, mask, np.random.default_rng(13))
+
+    def loss(ps, module, key):
+        z, ld, _ = module.apply(ps, x, mask, deterministic=False,
+                                rngs={'dropout': key})
+        return (jnp.sum(z.astype(jnp.float32) ** 2)
+                - 0.01 * jnp.sum(ld))
+
+    key = jax.random.PRNGKey(3)
+    vgf = jax.jit(jax.value_and_grad(loss), static_argnums=(1,))
+    lf, gf = vgf(params, build('flax', 0.0), key)
+    lm, gm = vgf(params, build('mega', 0.0), key)
+    assert abs(float(lm) - float(lf)) / abs(float(lf)) < 2e-2, (lm, lf)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_m = dict(jax.tree_util.tree_leaves_with_path(gm))
+    for pth, vf in flat_f:
+        a = np.asarray(flat_m[pth], np.float32)
+        o = np.asarray(vf, np.float32)
+        nr = (np.linalg.norm((a - o).ravel())
+              / (np.linalg.norm(o.ravel()) + 1e-6))
+        assert nr < 5e-2, (jax.tree_util.keystr(pth), nr)
+
+    # dropout: deterministic per key, sensitive to the key
+    mega = build('mega', 0.3)
+    run = jax.jit(lambda k: mega.apply(
+        params, x, mask, deterministic=False, rngs={'dropout': k})[0])
+    z1, z1b, z2 = run(key), run(key), run(jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(z1, np.float32),
+                                  np.asarray(z1b, np.float32))
+    assert float(jnp.abs(z1.astype(jnp.float32)
+                         - z2.astype(jnp.float32)).max()) > 1e-3
