@@ -328,3 +328,44 @@ def test_full_train_step_mega_matches_flax_rate0():
         np.testing.assert_allclose(
             np.asarray(flat_m[pth]), np.asarray(vf), rtol=5e-4, atol=5e-5,
             err_msg=jax.tree_util.keystr(pth))
+
+
+def test_full_train_step_mega_matches_flax_gr_mode():
+    """GR mode (speaker LUT + GST prosody + pitch conditioning + GRL
+    classifier) through the full train step at dropout rate 0: the
+    megakernel's conditioning and pitch cotangents feed the real
+    upstream encoders.  Reference mode wiring: ``Modules.py:42-48``."""
+    from glow_tts_tpu.training.step import create_train_state, \
+        make_train_step
+
+    b, t_tok, t_mel = 4, 10, 24
+
+    def mk_batch(cfg, seed):
+        rng = np.random.default_rng(seed)
+        return {
+            'tokens': jnp.asarray(rng.integers(
+                0, cfg.encoder.embedding_tokens, (b, t_tok)), jnp.int32),
+            'token_lengths': jnp.asarray([10, 8, 6, 4], jnp.int32),
+            'mels': jnp.asarray(rng.standard_normal(
+                (b, t_mel, cfg.sound.mel_dim)), jnp.float32),
+            'mel_lengths': jnp.asarray([24, 20, 16, 12], jnp.int32),
+            'speakers': jnp.asarray([0, 1, 2, 3], jnp.int32),
+            'pitches': jnp.asarray(rng.standard_normal(
+                (b, t_mel)), jnp.float32),
+        }
+
+    results = {}
+    for backend in ('flax', 'mega_interpret'):
+        cfg = dataclasses.replace(_decoder_cfg(backend, 0.0))
+        cfg = dataclasses.replace(cfg, mode='GR')
+        batch = mk_batch(cfg, 11)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                          batch)
+        step = make_train_step(cfg, model)
+        _, metrics = step(state, batch)
+        results[backend] = {k: float(v) for k, v in metrics.items()}
+
+    for key in ('mle', 'duration', 'speaker', 'total', 'grad_norm'):
+        np.testing.assert_allclose(
+            results['mega_interpret'][key], results['flax'][key],
+            rtol=2e-4, err_msg=key)
