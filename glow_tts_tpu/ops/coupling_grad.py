@@ -242,11 +242,15 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
         dt = ckpt.dtype
         m = m_ref[0]                                    # [p, 1] f32
 
-        # ---- manual DMA for the big in-conv weight stack: ascending
-        # recompute then descending grads — 2n transfers, double-buffered
-        def dma_win(i, slot):
+        # ---- manual DMA for the big in-conv weight stack: one slot per
+        # layer, fetched ONCE per grid step — the ascending recompute
+        # consumes them as they land and the descending grad loop reads
+        # the already-resident buffers (n slots cost the same VMEM as
+        # one Mosaic-double-buffered BlockSpec block and halve the
+        # dominant weight traffic of the backward pass)
+        def dma_win(i):
             return pltpu.make_async_copy(
-                w_in.at[sj, i], win_buf.at[slot], win_sems.at[slot])
+                w_in.at[sj, i], win_buf.at[i], win_sems.at[i])
 
         def dma_gw(i, slot):
             return pltpu.make_async_copy(
@@ -269,7 +273,8 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
                                        ch2, rate)
 
         # ================= phase 1: ascending recompute =================
-        dma_win(0, 0).start()
+        for li in range(n):
+            dma_win(li).start()
         x_in = ckpt[0, 0]                               # [p, c] dt
         xf = x_in.astype(jnp.float32)
         el_an = jnp.exp(an[0, 0])[None, :]
@@ -299,10 +304,8 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
             return acc
 
         for i in range(n):
-            if i + 1 < n:
-                dma_win(i + 1, (i + 1) % 2).start()
-            dma_win(i, i % 2).wait()
-            acc = layer_acc(i, i % 2)
+            dma_win(i).wait()
+            acc = layer_acc(i, i)
             t_ = jnp.tanh(acc[:, :ch])
             s_ = jax.nn.sigmoid(acc[:, ch:])
             g = (t_ * s_).astype(dt)
@@ -337,13 +340,10 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
 
         # ================= phase 3: descending layer backward ==========
         # dWin write-back: gw_buf slot i%2 → HBM; before reusing a slot,
-        # wait for the copy issued two layers later (same slot)
-        dma_win(n - 1, (n - 1) % 2).start()
+        # wait for the copy issued two layers later (same slot).
+        # w_in buffers are still resident from phase 1 — no re-fetch.
         for i in range(n - 1, -1, -1):
-            if i > 0:
-                dma_win(i - 1, (i - 1) % 2).start()
-            dma_win(i, i % 2).wait()
-            slot = i % 2
+            slot = i
             acc = layer_acc(i, slot)
             t_ = jnp.tanh(acc[:, :ch])
             s_ = jax.nn.sigmoid(acc[:, ch:])
@@ -684,8 +684,8 @@ def _bwd_call(ckpt, dz, dld, mask, weights, cond, pitch, seed, *,
         pltpu.VMEM((p, ch), jnp.float32),           # dxin carry
         pltpu.VMEM((p, ch), jnp.float32),           # dskip (constant)
         pltpu.VMEM((p + 2 * pad_t, ch), jnp.float32),  # conv-transpose acc
-        pltpu.VMEM((2, k * ch, ch2), dt),           # w_in double buffer
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((n, k * ch, ch2), dt),           # w_in, one slot/layer
+        pltpu.SemaphoreType.DMA((n,)),
         pltpu.VMEM((2, k * ch, ch2), gdt),          # dWin write-back buffer
         pltpu.SemaphoreType.DMA((2,)),
     ]
