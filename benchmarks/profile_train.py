@@ -25,7 +25,11 @@ def main(top_n: int = 40):
                                             make_train_step)
 
     BATCH, TOKEN_LEN, T_MEL = 32, 128, 768
-    cfg = load_config({'Mode': 'Vanilla', 'TPU': {'mas_backend': 'pallas'}})
+    backend = os.environ.get('GLOWTTS_PROFILE_BACKEND', 'auto')
+    cfg = load_config({'Mode': 'Vanilla',
+                       'TPU': {'mas_backend': 'pallas',
+                               'coupling_backend': backend}})
+    print(f'coupling_backend={backend}', flush=True)
     rng = np.random.default_rng(0)
     init_batch = {
         'tokens': rng.integers(0, 35, (BATCH, TOKEN_LEN)).astype(np.int32),
