@@ -407,6 +407,37 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
     return kernel
 
 
+def pick_batch_tile(t: int, k: int, ch: int, c: int, dt,
+                    *, n: int = 4, train: bool = False,
+                    requested: Optional[int] = None,
+                    budget: int = 15 << 20) -> int:
+    """VMEM-aware batch tile for the flow-stack kernels (the analogue of
+    ``ops/mas.py``'s VMEM guard).  The large per-row buffers (im2col
+    columns, padded activations, skip accumulator, carry block, train
+    checkpoint) scale with ``bt·(t + k − 1)``; at the production mel
+    bucket ceiling (1000 frames → 500 squeezed) the default tile of 4
+    would exceed the ~16 MB VMEM, so the tile drops until the estimate
+    fits.  The estimate is approximate (Mosaic's live values and
+    scheduling add slack) — ``requested`` overrides it."""
+    if requested is not None:
+        return requested
+    esz = 2 if dt == jnp.bfloat16 else 4
+    pad = (k - 1) // 2
+    r = t + 2 * pad
+    kch, ch2 = k * ch, 2 * ch
+    # fixed: double-buffered per-step weight blocks (all n layers) +
+    # headroom for small operands
+    fixed = 2 * n * (kch * ch2 + ch * ch2) * esz + (1 << 20)
+    # per packed row: im2col + padded acts + x + z blocks, f32 skip, mask
+    row = (kch + ch + 2 * c) * esz + ch * 4 + 4
+    if train:
+        row += 2 * c * esz          # the checkpoint output block
+    for bt in (4, 2, 1):
+        if fixed + bt * r * row <= budget:
+            return bt
+    return 1
+
+
 def _pack(a: jax.Array, bt: int, r: int) -> jax.Array:
     """[B, T, C] → [B/bt, bt·r, C]: pad each sample's time axis to ``r``
     (zero gap = the conv halo between packed samples) and fold batch into
@@ -425,7 +456,7 @@ def fused_coupling(
     pitch: Optional[jax.Array] = None,
     *,
     reverse: bool = False,
-    batch_tile: int = 4,
+    batch_tile: Optional[int] = None,
     row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
     mxu3x: Optional[bool] = None,
@@ -492,7 +523,7 @@ def fused_coupling(
         # hardware f32 dots need the 3-pass decomposition (the interpreter
         # computes exact f32 — keep it that way for CPU parity tests)
         mxu3x = dt == jnp.float32 and not interpret
-    bt = batch_tile
+    bt = pick_batch_tile(t, k, ch, 2 * c2, dt, n=n, requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r
@@ -593,7 +624,7 @@ def fused_flow_step(
     pitch: Optional[jax.Array] = None,
     *,
     reverse: bool = False,
-    batch_tile: int = 4,
+    batch_tile: Optional[int] = None,
     row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
     mxu3x: Optional[bool] = None,
@@ -652,7 +683,7 @@ def fused_flow_step(
         stream_weights = dt == jnp.float32
     if mxu3x is None:
         mxu3x = dt == jnp.float32 and not interpret
-    bt = batch_tile
+    bt = pick_batch_tile(t, k, ch, c, dt, n=n, requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r
@@ -760,7 +791,7 @@ def fused_flow_stack(
     pitch: Optional[jax.Array] = None,
     *,
     reverse: bool = False,
-    batch_tile: int = 4,
+    batch_tile: Optional[int] = None,
     row_chunks: int = 2,
     stream_weights: Optional[bool] = None,
     mxu3x: Optional[bool] = None,
@@ -823,7 +854,7 @@ def fused_flow_stack(
         stream_weights = dt == jnp.float32
     if mxu3x is None:
         mxu3x = dt == jnp.float32 and not interpret
-    bt = batch_tile
+    bt = pick_batch_tile(t, k, ch, c, dt, n=n, requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r

@@ -810,7 +810,7 @@ def fused_flow_stack_train(
     *,
     seed: jax.Array,
     dropout_rate: float = 0.0,
-    batch_tile: int = 4,
+    batch_tile: Optional[int] = None,
     bwd_batch_tile: int = 2,
     row_chunks: int = 2,
     interpret: bool = False,
@@ -834,6 +834,11 @@ def fused_flow_stack_train(
     """
     b, t, c = x.shape
     seed = jnp.asarray(seed, jnp.int32)
+    from glow_tts_tpu.ops.coupling import pick_batch_tile
+    batch_tile = pick_batch_tile(
+        t, weights['w_in'].shape[2], weights['w_in'].shape[3], c, x.dtype,
+        n=weights['w_in'].shape[1], train=True, requested=batch_tile)
+    bwd_batch_tile = min(bwd_batch_tile, batch_tile)
     if not _skip_shard:
         from glow_tts_tpu.parallel import mesh as mesh_lib
         mesh = mesh_lib.active_data_mesh(b)

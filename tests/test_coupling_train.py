@@ -369,3 +369,34 @@ def test_full_train_step_mega_matches_flax_gr_mode():
         np.testing.assert_allclose(
             results['mega_interpret'][key], results['flax'][key],
             rtol=2e-4, err_msg=key)
+
+
+def test_vmem_tile_guard_and_explicit_tiles():
+    """pick_batch_tile drops the tile at production-length sequences
+    (the kernels' analogue of the MAS VMEM guard), and an explicitly
+    non-default forward tile still matches the twin."""
+    from glow_tts_tpu.ops.coupling import pick_batch_tile
+
+    # production dims: k=5, ch=192, C=160, n=4 — bench length keeps 4,
+    # the mel-bucket ceiling (1000 frames → 500 squeezed) drops to 2
+    assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16, train=True) == 4
+    assert pick_batch_tile(500, 5, 192, 160, jnp.bfloat16, train=True) == 2
+    assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16) == 4
+    assert pick_batch_tile(100, 5, 192, 160, jnp.bfloat16,
+                           requested=1) == 1
+
+    rng = np.random.default_rng(12)
+    S, n, k, ch, c = 2, 2, 5, 16, 16
+    b, t = 5, 9
+    x, mask = _inputs(rng, b, t, c, [9, 7, 5, 3, 2])
+    W = _weights(rng, S, n, k, ch, c)
+    seed = jnp.int32(21)
+    z2, ld2 = CG.fused_flow_stack_train(
+        x, mask, W, seed=seed, dropout_rate=0.2, batch_tile=2,
+        interpret=True)
+    zr, ldr = CG.flow_stack_train_reference(
+        x, mask, W, seed=seed, dropout_rate=0.2)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(zr),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld2), np.asarray(ldr),
+                               rtol=2e-5, atol=2e-4)
