@@ -425,9 +425,11 @@ def pick_batch_tile(t: int, k: int, ch: int, c: int, dt,
     pad = (k - 1) // 2
     r = t + 2 * pad
     kch, ch2 = k * ch, 2 * ch
-    # fixed: double-buffered per-step weight blocks (all n layers) +
-    # headroom for small operands
-    fixed = 2 * n * (kch * ch2 + ch * ch2) * esz + (1 << 20)
+    # fixed: bf16 keeps the whole per-step weight stack in VMEM blocks
+    # (double-buffered across the grid's flow axis); f32 manually
+    # DMA-streams per layer through 2 slots (the stream_weights mode)
+    slots = 2 * n if esz == 2 else 2
+    fixed = slots * (kch * ch2 + ch * ch2) * esz + (1 << 20)
     # per packed row: im2col + padded acts + x + z blocks, f32 skip, mask
     row = (kch + ch + 2 * c) * esz + ch * 4 + 4
     if train:
