@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, Optional, Sequence
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -107,14 +107,21 @@ class DataLoader:
             batch = self.device_put(batch)
         return batch
 
-    def _produce(self, q: queue.Queue, iterator, lock):
+    def _produce(self, q: queue.Queue, iterator, lock, counter):
         try:
             while True:
                 with lock:
                     indices = next(iterator, None)
+                    order = counter[0]
+                    counter[0] += 1
                 if indices is None:
                     break
-                q.put(self._make_batch(indices))
+                # tag with the sampler position: the consumer re-emits in
+                # sampler order, so multi-worker batch order is
+                # deterministic (torch's DataLoader guarantee,
+                # ``Train.py:100-123`` — and what makes resumed runs
+                # consume the identical batch sequence)
+                q.put((order, self._make_batch(indices)))
         except Exception as error:            # surface in the consumer
             q.put(error)
         finally:
@@ -129,12 +136,16 @@ class DataLoader:
                                                  self.workers))
         iterator = iter(self.sampler)
         lock = threading.Lock()
+        counter = [0]
         threads = [threading.Thread(target=self._produce,
-                                    args=(q, iterator, lock), daemon=True)
+                                    args=(q, iterator, lock, counter),
+                                    daemon=True)
                    for _ in range(self.workers)]
         for t in threads:
             t.start()
         finished = 0
+        pending: Dict[int, Any] = {}
+        next_order = 0
         while finished < len(threads):
             item = q.get()
             if item is None:
@@ -142,6 +153,14 @@ class DataLoader:
                 continue
             if isinstance(item, Exception):
                 raise item
-            yield item
+            order, batch = item
+            pending[order] = batch
+            while next_order in pending:
+                yield pending.pop(next_order)
+                next_order += 1
         for t in threads:
             t.join()
+        # drain anything that raced the sentinels
+        while next_order in pending:
+            yield pending.pop(next_order)
+            next_order += 1

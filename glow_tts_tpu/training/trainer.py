@@ -282,7 +282,16 @@ class Trainer:
 
     def train(self, profile_steps: Optional[tuple] = None):
         cfg = self.config.train
-        epoch = 0
+        # Resume-exact data order: the reference checkpoints and restores
+        # its epoch counter (``Train.py:535-553``) so a resumed run does
+        # not replay epoch 0; batches-per-epoch is deterministic here
+        # (seeded bucket sampler), so the epoch AND the intra-epoch
+        # offset derive from the restored step — a resumed run consumes
+        # exactly the batches the uninterrupted run would have.
+        batches_per_epoch = len(self._train_loader(seed=0))
+        epoch = self.step // batches_per_epoch if batches_per_epoch else 0
+        skip_batches = (self.step % batches_per_epoch
+                        if batches_per_epoch else 0)
         # Preemption safety: SIGTERM (TPU maintenance / spot reclaim)
         # checkpoints before exit — the reference only handles Ctrl-C
         # (``Train.py:582-587``).
@@ -301,7 +310,9 @@ class Trainer:
                 self.run_inference_file(cfg.inference_pattern_file_in_train)
         try:
             while self.step < cfg.max_step:
-                for batch in self._train_loader(seed=epoch):
+                for bi, batch in enumerate(self._train_loader(seed=epoch)):
+                    if skip_batches and bi < skip_batches:
+                        continue       # realign a mid-epoch resume
                     num_frames = batch.pop(
                         'num_frames',
                         None) or int(np.asarray(batch['mel_lengths']).sum())
@@ -320,6 +331,7 @@ class Trainer:
                     self._after_step(metrics, num_frames)
                     if self.step >= cfg.max_step:
                         break
+                skip_batches = 0
                 epoch += 1
         except KeyboardInterrupt:
             logger.info('Interrupted — saving checkpoint at step %d',

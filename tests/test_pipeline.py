@@ -172,3 +172,51 @@ def test_inferencer_from_checkpoint(workdir, tmp_path):
     assert os.path.exists(os.path.join(out_dir, 'NPY', 'Mel', 'b.npy'))
     mel = np.load(os.path.join(out_dir, 'NPY', 'Mel', 'a.npy'))
     assert mel.shape[0] == cfg.sound.mel_dim   # saved transposed [M, T]
+
+
+def test_resume_reproduces_uninterrupted_run(workdir, tmp_path):
+    """Bitwise resume equivalence: train 0→4 straight vs train 0→3,
+    checkpoint, resume 3→4 — final parameters identical.  Exercises the
+    restored epoch/intra-epoch data-order realignment (the reference
+    restores its epoch counter, ``Train.py:535-553``; here the offset
+    realigns mid-epoch too) and the order-preserving multi-worker
+    loader."""
+    import dataclasses
+    import jax
+    from glow_tts_tpu.training.trainer import Trainer
+
+    work, cfg = workdir
+
+    def with_paths(tag, **train_over):
+        return dataclasses.replace(
+            cfg,
+            checkpoint_path=str(tmp_path / f'Ckpt{tag}'),
+            log_path=str(tmp_path / f'Log{tag}'),
+            inference_path=str(tmp_path / f'Inf{tag}'),
+            train=dataclasses.replace(cfg.train, **train_over))
+
+    # uninterrupted 0→4
+    ta = Trainer(with_paths('A', max_step=4), use_mesh=False,
+                 max_mel_length=256)
+    ta.train()
+    params_a = jax.device_get(ta.state.params)
+
+    # interrupted at 3 (mid-epoch: 2 batches/epoch), then resumed 3→4
+    cfg_b = with_paths('B', max_step=3, checkpoint_save_interval=3)
+    tb = Trainer(cfg_b, use_mesh=False, max_mel_length=256)
+    tb.train()
+    tb.checkpoints.wait()
+    cfg_b4 = dataclasses.replace(
+        cfg_b, train=dataclasses.replace(cfg_b.train, max_step=4))
+    tb2 = Trainer(cfg_b4, initial_step=0, use_mesh=False,
+                  max_mel_length=256)
+    assert tb2.step == 3
+    tb2.train()
+    params_b = jax.device_get(tb2.state.params)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params_a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(params_b))
+    for pth, va in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_b[pth]), np.asarray(va),
+            err_msg=jax.tree_util.keystr(pth))
