@@ -84,3 +84,48 @@ def test_file_helpers_roundtrip(tmp_path):
     back, rate = flac.read(path)
     assert rate == 16000 and back.ndim == 1
     assert np.abs(back - audio).max() <= 1.0 / 32767   # int16 quantisation
+
+
+def test_property_roundtrip_fuzz():
+    """Property fuzz of the from-scratch codec: random lengths, channel
+    counts, bit depths, strategies, extreme amplitudes and constant runs
+    must all round-trip exactly (hypothesis-style sweep, fixed seed so
+    CI is deterministic)."""
+    import itertools
+    import numpy as np
+    from glow_tts_tpu.data import flac
+
+    rng = np.random.default_rng(0)
+    strategies = ['fixed', 'verbatim', 'constant_ok']
+    cases = 0
+    for trial in range(60):
+        n = int(rng.integers(1, 5000))
+        channels = int(rng.integers(1, 3))
+        bps = int(rng.choice([8, 16, 24]))
+        lim = 2 ** (bps - 1)
+        kind = trial % 5
+        if kind == 0:
+            x = rng.integers(-lim, lim, (n, channels))
+        elif kind == 1:                       # near-silence
+            x = rng.integers(-2, 2, (n, channels))
+        elif kind == 2:                       # full-scale square wave
+            x = np.where((np.arange(n) // 7 % 2)[:, None].astype(bool),
+                         lim - 1, -lim) * np.ones((1, channels), int)
+        elif kind == 3:                       # constant
+            x = np.full((n, channels), int(rng.integers(-lim, lim)))
+        else:                                 # ramp hitting both rails
+            x = np.linspace(-lim, lim - 1, n)[:, None] * np.ones(
+                (1, channels))
+        x = x.astype(np.int32)
+        if channels == 1:
+            x = x[:, 0]
+        data = flac.encode(x, sample_rate=16000, bits_per_sample=bps,
+                           block_size=int(rng.choice([256, 1024, 4096])))
+        y, sr, _ = flac.decode(data)
+        np.testing.assert_array_equal(
+            np.asarray(y).reshape(x.shape), x,
+            err_msg=f'trial {trial} n={n} ch={channels} bps={bps} '
+                    f'kind={kind}')
+        assert sr == 16000
+        cases += 1
+    assert cases == 60
