@@ -373,6 +373,7 @@ def main():
             'mel_frames': frames,
             'rtf': round(rtf, 6),
             'compute_dtype': cfg.tpu.compute_dtype,
+            'coupling_backend': cfg.tpu.coupling_backend,
             'inference_policy': f'{cfg.tpu.inference_dtype}+'
                                 f'{cfg.tpu.inference_matmul_precision}',
             'fast_mode_frames_per_sec':
