@@ -25,11 +25,17 @@ from glow_tts_tpu.utils.plotting import export_mel_figure, export_npy
 
 
 class Inferencer:
+    """``use_mesh=None`` (auto) shards serving batches over all local
+    devices (data-parallel over a `jax.sharding.Mesh`) when more than one
+    is visible — the reference serves on exactly one GPU
+    (``Train.py:27-35``); here a single host drives a whole slice."""
+
     def __init__(self, checkpoint_path: str,
                  config: Optional[Config] = None,
                  step: int = 0,
                  batch_size: Optional[int] = None,
-                 max_mel_length: int = 1024):
+                 max_mel_length: int = 1024,
+                 use_mesh: Optional[bool] = None):
         if config is None:
             snapshot = os.path.join(checkpoint_path, 'Hyper_Parameters.yaml')
             if not os.path.exists(snapshot):
@@ -73,6 +79,20 @@ class Inferencer:
             fold_config, build_model(fold_config),
             max_mel_length=max_mel_length))
 
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        self._mesh_lib = mesh_lib
+        ndev = len(jax.devices())
+        want_mesh = ndev > 1 if use_mesh is None else use_mesh
+        self.mesh = None
+        if want_mesh and ndev > 1:
+            mesh_cfg = dataclasses.replace(
+                fold_config,
+                tpu=dataclasses.replace(fold_config.tpu,
+                                        data_parallel=ndev))
+            self.mesh = mesh_lib.make_mesh(mesh_cfg)
+            self.state = jax.device_put(
+                self.state, mesh_lib.replicated(self.mesh))
+
     def _dummy_train_batch(self) -> Dict:
         cfg = self.config
         rng = np.random.default_rng(0)
@@ -107,9 +127,21 @@ class Inferencer:
         results = []
         for start in range(0, len(items), self.batch_size):
             chunk = list(items[start:start + self.batch_size])
-            batch = self.collater(chunk)
-            out = self.infer(self.state, batch,
-                             jax.random.PRNGKey(seed + start))
+            if self.mesh is not None:
+                # pad ragged tail chunks to the device count, shard over
+                # the mesh's data axis, and make the mesh ambient so
+                # batch-parallel Pallas backends shard_map themselves
+                ndev = self.mesh.shape['data']
+                padded = chunk + [chunk[-1]] * ((-len(chunk)) % ndev)
+                batch = self.collater(padded)
+                batch = self._mesh_lib.shard_batch(self.mesh, batch)
+                with self._mesh_lib.activate_mesh(self.mesh):
+                    out = self.infer(self.state, batch,
+                                     jax.random.PRNGKey(seed + start))
+            else:
+                batch = self.collater(chunk)
+                out = self.infer(self.state, batch,
+                                 jax.random.PRNGKey(seed + start))
             mels = np.asarray(out['mels'])
             lengths = np.asarray(out['mel_lengths'])
             attns = np.asarray(out['attentions'])

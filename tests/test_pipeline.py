@@ -220,3 +220,28 @@ def test_resume_reproduces_uninterrupted_run(workdir, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(flat_b[pth]), np.asarray(va),
             err_msg=jax.tree_util.keystr(pth))
+
+
+def test_inferencer_mesh_matches_single_device(workdir):
+    """Serving sharded over the 8-device mesh (Inferencer(use_mesh=True))
+    produces the same mels as single-device serving, including a ragged
+    tail chunk that pads to the device count."""
+    from glow_tts_tpu.inference import Inferencer
+
+    work, cfg = workdir
+    texts = ['HELLO WORLD OF SPEECH.', 'ANOTHER TEST SENTENCE HERE.',
+             'A THIRD ONE MAKES THE TAIL CHUNK RAGGED.']
+    labels = ['a', 'b', 'c']
+
+    single = Inferencer(str(work / 'Checkpoint'), config=cfg,
+                        batch_size=3, max_mel_length=64, use_mesh=False)
+    meshed = Inferencer(str(work / 'Checkpoint'), config=cfg,
+                        batch_size=3, max_mel_length=64, use_mesh=True)
+    assert meshed.mesh is not None
+    r0 = single.inference(labels=labels, texts=texts)
+    r1 = meshed.inference(labels=labels, texts=texts)
+    assert len(r0) == len(r1) == 3
+    for a, b in zip(r0, r1):
+        assert a['mel'].shape == b['mel'].shape
+        np.testing.assert_allclose(b['mel'], a['mel'],
+                                   rtol=1e-5, atol=1e-5)
