@@ -51,7 +51,49 @@ def _compiled_flops(compiled) -> float:
     return float(cost.get('flops', 0.0) or 0.0)
 
 
+def _wait_for_backend(max_wait: float) -> bool:
+    """Probe jax backend init in a subprocess until it answers or
+    ``max_wait`` expires.
+
+    A down axon tunnel makes the first device query hang indefinitely
+    *in-process* (observed >150 s with no exception), which would turn a
+    transient tunnel outage into a hung benchmark run.  The subprocess
+    probe can be timed out and retried; on CPU it returns immediately.
+    """
+    import subprocess
+    import sys
+    probe = ("import jax, jax.numpy as jnp;"
+             "print('BENCH_OK', float(jnp.ones((8, 8)).sum()))")
+    deadline = time.monotonic() + max_wait
+    while True:
+        try:
+            r = subprocess.run([sys.executable, '-c', probe],
+                               capture_output=True, timeout=150)
+            if b'BENCH_OK' in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print('bench: device backend unreachable, retrying...',
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
+    # Bounded wait for the device backend (GLOWTTS_BENCH_WAIT_SECS, 0 to
+    # skip): emit one honest JSON error line instead of hanging forever
+    # if the TPU tunnel is down when the benchmark fires.
+    wait_secs = float(os.environ.get('GLOWTTS_BENCH_WAIT_SECS', '900'))
+    if wait_secs > 0 and not _wait_for_backend(wait_secs):
+        print(json.dumps({
+            'metric': 'mel_frames_per_sec_per_chip',
+            'value': None, 'unit': 'frames/s', 'vs_baseline': None,
+            'extra': {'error': 'device backend unreachable after '
+                               f'{wait_secs:.0f}s of probing'},
+        }))
+        return 1
+
     import jax
     import jax.numpy as jnp
     # Reuse compiled executables across bench invocations.  Must go through
@@ -395,4 +437,4 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    raise SystemExit(main())
