@@ -262,7 +262,9 @@ class TPUConfig:
     """
     # Data-parallel axis size; 0/None means "use all visible devices".
     data_parallel: int = 0
-    # Mesh axis names (data, model).  Model axis reserved for future TP.
+    # Mesh axis names (data, model).  model_parallel > 1 turns on tensor
+    # parallelism: GSPMD partitioning of the attention/FFN/WaveNet matmuls
+    # per the rules in parallel/tp.py (single-process only).
     mesh_axes: Tuple[str, str] = ('data', 'model')
     model_parallel: int = 1
     # bfloat16 activations on the MXU; fp32 for flow logdets and the loss.

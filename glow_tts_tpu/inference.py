@@ -85,13 +85,17 @@ class Inferencer:
         want_mesh = ndev > 1 if use_mesh is None else use_mesh
         self.mesh = None
         if want_mesh and ndev > 1:
+            # honor TPU.model_parallel: serving runs on a (data, model)
+            # mesh with tensor-parallel parameters (parallel/tp.py);
+            # model_parallel == 1 → plain data-parallel replication
+            model_par = max(fold_config.tpu.model_parallel, 1)
             mesh_cfg = dataclasses.replace(
                 fold_config,
                 tpu=dataclasses.replace(fold_config.tpu,
-                                        data_parallel=ndev))
+                                        data_parallel=ndev // model_par))
             self.mesh = mesh_lib.make_mesh(mesh_cfg)
-            self.state = jax.device_put(
-                self.state, mesh_lib.replicated(self.mesh))
+            from glow_tts_tpu.parallel import tp
+            self.state = tp.place_state(self.state, self.mesh)
 
     def _dummy_train_batch(self) -> Dict:
         cfg = self.config

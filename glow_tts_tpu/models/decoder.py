@@ -298,9 +298,12 @@ class AffineCoupling(nn.Module):
         backend = self.config.tpu.coupling_backend
         # hardware fused path is bf16-only: Mosaic's default f32 dot is a
         # single bf16 MXU pass, which would silently degrade the f32
-        # selective-precision inference policy (see ops/coupling.py)
+        # selective-precision inference policy (see ops/coupling.py).
+        # Under tensor parallelism the kernels are GSPMD-opaque — fall
+        # through to flax so GSPMD partitions the WaveNet over 'model'.
+        from glow_tts_tpu.parallel import mesh as mesh_lib
         dt = self.dtype or x.dtype
-        fused = deterministic and (
+        fused = deterministic and mesh_lib.active_model_parallel() == 1 and (
             backend == 'fused_interpret'
             or (backend == 'fused'
                 and jax.default_backend() == 'tpu'
@@ -424,8 +427,10 @@ class FlowStep(nn.Module):
         # 'auto' resolves to flax/XLA (measured fastest after the
         # gather-free mixing fix); 'fused' opts into the Pallas flow-step
         # kernel (f32 runs the in-kernel 3-pass decomposition —
-        # ops/coupling.py module header)
-        fused = deterministic and (
+        # ops/coupling.py module header).  Tensor parallelism → flax
+        # (kernels are GSPMD-opaque; see parallel/tp.py).
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        fused = deterministic and mesh_lib.active_model_parallel() == 1 and (
             backend == 'fused_interpret'
             or (backend == 'fused'
                 and jax.default_backend() == 'tpu'
@@ -531,8 +536,11 @@ class FlowDecoder(nn.Module):
         # block double-buffering; f32 = in-kernel 3-pass dots + manual
         # weight DMA).  At init time fall through to the sequential path
         # so each ActNorm's data-dependent init sees ITS OWN input, not
-        # the stack input.
-        mega = (deterministic and not self.is_initializing()
+        # the stack input.  Tensor parallelism → sequential flax path
+        # (the kernels are GSPMD-opaque; see parallel/tp.py).
+        from glow_tts_tpu.parallel import mesh as mesh_lib
+        no_tp = mesh_lib.active_model_parallel() == 1
+        mega = (deterministic and not self.is_initializing() and no_tp
                 and not self.config.tpu.remat_flows
                 and (backend == 'mega_interpret'
                      or (backend == 'mega'
@@ -543,7 +551,7 @@ class FlowDecoder(nn.Module):
         # (ops/coupling_grad.py); hardware path is bf16-only — the f32
         # backward's recompute scratch does not fit VMEM
         mega_train = (not deterministic and not reverse
-                      and not self.is_initializing()
+                      and not self.is_initializing() and no_tp
                       and not self.config.tpu.remat_flows
                       and (backend == 'mega_interpret'
                            or (backend == 'mega'

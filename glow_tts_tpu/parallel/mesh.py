@@ -167,6 +167,19 @@ def active_data_mesh(batch_size: Optional[int] = None) -> Optional[Mesh]:
     return mesh
 
 
+def active_model_parallel() -> int:
+    """Size of the ambient mesh's 'model' axis (1 when no mesh is active).
+
+    The Pallas coupling kernels are GSPMD-opaque and shard_map over 'data'
+    only, so under tensor parallelism (``parallel/tp.py``) the decoder
+    gates on this to resolve the coupling backend to flax/XLA, where GSPMD
+    partitions the WaveNet matmuls over 'model'."""
+    mesh = _ACTIVE_MESH.get()
+    if mesh is None or 'model' not in mesh.axis_names:
+        return 1
+    return mesh.shape['model']
+
+
 def data_shard_map(fn, mesh: Mesh, in_specs, out_specs):
     """``jax.shard_map`` over the mesh's 'data' axis (other axes unused).
 

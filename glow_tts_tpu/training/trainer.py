@@ -204,6 +204,22 @@ class Trainer:
               and cfg.speaker_embedding.type.upper() == 'GE2E'
               and cfg.speaker_embedding.ge2e.checkpoint_path):
             self._load_ge2e(cfg.speaker_embedding.ge2e.checkpoint_path)
+        # Commit the state onto the mesh: tensor-parallel parameter /
+        # optimizer-moment shardings over 'model' (parallel/tp.py), plain
+        # explicit replication when model_parallel == 1.
+        if self.mesh is not None and self.num_processes == 1:
+            from glow_tts_tpu.parallel import tp
+            self.state = tp.place_state(self.state, self.mesh)
+            if self.mesh.shape.get('model', 1) > 1:
+                sharded, total = tp.sharded_param_count(self.state, self.mesh)
+                logger.info(
+                    'tensor parallel over model=%d: %d / %d parameters '
+                    'sharded (%.0f%%)', self.mesh.shape['model'], sharded,
+                    total, 100.0 * sharded / total)
+        elif cfg.tpu.model_parallel > 1:
+            raise NotImplementedError(
+                'model_parallel > 1 is single-process only — multi-host '
+                'runs scale over the data axis (DCN); see parallel/tp.py')
 
     def _load_ge2e(self, path: str):
         """Load the pre-trained GE2E d-vector weights from a torch
