@@ -47,8 +47,17 @@ def _decode_soundfile(path: str) -> Tuple[np.ndarray, int]:
 
 
 def _decode_native_flac(path: str) -> Tuple[np.ndarray, int]:
-    from glow_tts_tpu.data import flac
-    return flac.read(path)
+    """C++ decoder (native/flac.cpp, ~two orders faster) with the pure
+    Python codec as the always-available fallback (unknown-total streams,
+    no compiler on the host, ...)."""
+    try:
+        from glow_tts_tpu.data import flac_native
+        return flac_native.read(path)
+    except ValueError:
+        raise                       # malformed stream: same error either way
+    except Exception:
+        from glow_tts_tpu.data import flac
+        return flac.read(path)
 
 
 def _decode_audioread(path: str) -> Tuple[np.ndarray, int]:

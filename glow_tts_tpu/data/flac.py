@@ -16,9 +16,11 @@ xiph.org spec) from scratch in numpy:
   Rice, wasted bits, mid-side stereo, escape partitions) and to round-trip
   arbitrary PCM losslessly.
 
-Pure Python bit IO is not fast (~real-time for 24 kHz mono); the ETL
-prefers soundfile when importable and falls back here, so flac corpora
-always work.
+Pure Python bit IO is not fast (~20× real time for 24 kHz mono speech);
+the ETL decode chain prefers soundfile when importable, then the C++ twin
+of this decoder (``native/flac.cpp`` via :mod:`~glow_tts_tpu.data.
+flac_native`, ~90× faster, bit-equal by test), and falls back here — flac
+corpora always work, and this module remains the oracle and the encoder.
 """
 
 from __future__ import annotations
