@@ -19,8 +19,7 @@ from glow_tts_tpu.data.collate import InferenceCollater
 from glow_tts_tpu.data.patterns import InferenceDataset
 from glow_tts_tpu.text import Tokenizer, load_token_dict, text_filtering
 from glow_tts_tpu.training.checkpoint import CheckpointManager
-from glow_tts_tpu.training.step import (create_train_state,
-                                        make_inference_step)
+from glow_tts_tpu.training.step import create_train_state
 from glow_tts_tpu.utils.plotting import export_mel_figure, export_npy
 
 
@@ -28,14 +27,23 @@ class Inferencer:
     """``use_mesh=None`` (auto) shards serving batches over all local
     devices (data-parallel over a `jax.sharding.Mesh`) when more than one
     is visible — the reference serves on exactly one GPU
-    (``Train.py:27-35``); here a single host drives a whole slice."""
+    (``Train.py:27-35``); here a single host drives a whole slice.
+
+    Synthesis is two-phase and mel-bucketed: the prior phase predicts
+    durations, then the decode phase runs in the smallest static mel
+    bucket (default ladder: powers of two up to ``max_mel_length``) the
+    batch fits, so short texts pay bucket-sized inverse-flow FLOPs
+    instead of worst-case ones while XLA reuses one executable per
+    bucket.  ``mel_buckets=()`` disables the ladder (always decode at
+    ``max_mel_length``)."""
 
     def __init__(self, checkpoint_path: str,
                  config: Optional[Config] = None,
                  step: int = 0,
                  batch_size: Optional[int] = None,
                  max_mel_length: int = 1024,
-                 use_mesh: Optional[bool] = None):
+                 use_mesh: Optional[bool] = None,
+                 mel_buckets: Optional[Sequence[int]] = None):
         if config is None:
             snapshot = os.path.join(checkpoint_path, 'Hyper_Parameters.yaml')
             if not os.path.exists(snapshot):
@@ -75,9 +83,29 @@ class Inferencer:
             tpu=dataclasses.replace(config.tpu, fold_weight_norm=True))
         self.state = self.state.replace(
             params=fold_weight_norm_params(self.state.params))
-        self.infer = jax.jit(make_inference_step(
-            fold_config, build_model(fold_config),
-            max_mel_length=max_mel_length))
+
+        # Two-phase bucketed serving (models/glow_tts.py): phase 1 sizes
+        # the utterance from the predicted durations, phase 2 decodes in
+        # the smallest static mel bucket that fits — a short text pays
+        # bucket-sized inverse-flow FLOPs, not worst-case ones.  Default
+        # ladder: powers of two up to max_mel_length.  Pass
+        # ``mel_buckets=()`` to always decode at max_mel_length.
+        from glow_tts_tpu.training.step import make_two_phase_inference
+        s = config.decoder.num_squeeze
+        if mel_buckets is None:
+            mel_buckets, b = [], 128
+            while b < max_mel_length:
+                mel_buckets.append(b)
+                b *= 2
+        buckets = sorted({min(max(int(b) // s * s, s), max_mel_length)
+                          for b in mel_buckets} | {max_mel_length})
+        self.mel_buckets = buckets
+        fold_model = build_model(fold_config)
+        prior_step, decode_for = make_two_phase_inference(
+            fold_config, fold_model)
+        self._prior = jax.jit(prior_step)
+        self._decode_for = decode_for
+        self._decode_cache: Dict[int, object] = {}
 
         from glow_tts_tpu.parallel import mesh as mesh_lib
         self._mesh_lib = mesh_lib
@@ -122,6 +150,26 @@ class Inferencer:
 
     # ------------------------------------------------------------------
 
+    def _decode_step(self, bucket: int):
+        decode = self._decode_cache.get(bucket)
+        if decode is None:
+            decode = jax.jit(self._decode_for(bucket))
+            self._decode_cache[bucket] = decode
+        return decode
+
+    def _run_infer(self, batch, rng, noise_scale: float):
+        """Two-phase bucketed synthesis: the prior phase predicts the
+        durations, the host picks the smallest static mel bucket the
+        batch fits (summed durations are already integers), and the
+        decode phase runs at that capacity."""
+        prior = self._prior(self.state, batch)
+        need = int(np.asarray(prior['durations']).sum(axis=1).max())
+        bucket = next((b for b in self.mel_buckets if b >= need),
+                      self.mel_buckets[-1])
+        return self._decode_step(bucket)(
+            self.state, prior, batch, rng,
+            np.float32(noise_scale))
+
     def synthesize_items(self, items: Sequence[Dict],
                          out_dir: Optional[str] = None,
                          noise_scale: float = 1.0,
@@ -140,12 +188,14 @@ class Inferencer:
                 batch = self.collater(padded)
                 batch = self._mesh_lib.shard_batch(self.mesh, batch)
                 with self._mesh_lib.activate_mesh(self.mesh):
-                    out = self.infer(self.state, batch,
-                                     jax.random.PRNGKey(seed + start))
+                    out = self._run_infer(batch,
+                                          jax.random.PRNGKey(seed + start),
+                                          noise_scale)
             else:
                 batch = self.collater(chunk)
-                out = self.infer(self.state, batch,
-                                 jax.random.PRNGKey(seed + start))
+                out = self._run_infer(batch,
+                                      jax.random.PRNGKey(seed + start),
+                                      noise_scale)
             mels = np.asarray(out['mels'])
             lengths = np.asarray(out['mel_lengths'])
             attns = np.asarray(out['attentions'])

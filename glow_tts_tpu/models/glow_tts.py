@@ -249,16 +249,40 @@ class GlowTTS(nn.Module):
         """Static-shape inference: mels are produced into a [B,
         max_mel_length, M] buffer with per-sample valid lengths (XLA needs
         the capacity at trace time; the reference materialises a dynamic
-        max, ``Modules.py:173-175``)."""
+        max, ``Modules.py:173-175``).
+
+        Composition of :meth:`inference_prior` (token-length work) and
+        :meth:`inference_decode` (mel-capacity work) — the serving path
+        calls the two phases separately so the decode can run at a
+        bucketed capacity chosen from the predicted durations."""
+        prior = self.inference_prior(
+            tokens, token_lengths, mels_for_prosody,
+            mel_lengths_for_prosody, speakers, mels_for_ge2e, length_scale)
+        return self.inference_decode(
+            prior, pitches=pitches, pitch_lengths=pitch_lengths,
+            noise_key=noise_key, noise_scale=noise_scale,
+            max_mel_length=max_mel_length)
+
+    def inference_prior(self,
+                        tokens: jax.Array,
+                        token_lengths: jax.Array,
+                        mels_for_prosody: Optional[jax.Array] = None,
+                        mel_lengths_for_prosody: Optional[jax.Array] = None,
+                        speakers: Optional[jax.Array] = None,
+                        mels_for_ge2e: Optional[jax.Array] = None,
+                        length_scale=1.0) -> Dict[str, Any]:
+        """Phase 1 of serving: conditioning, encoder prior and the scaled
+        integer durations — everything shaped by the *token* capacity only.
+        The summed durations tell the host how much mel capacity phase 2
+        actually needs, so short batches decode in a small static bucket
+        instead of the worst-case buffer.
+
+        Per-stage precision scoping (tpu.inference_*_matmul_precision):
+        this phase is the encoder stage — everything whose error enters
+        the durations directly."""
         cfg = self.config
-        # Per-stage precision scoping (tpu.inference_*_matmul_precision):
-        # the encoder stage covers conditioning, the prior heads, the
-        # alignment einsums and z sampling — everything whose error enters
-        # z or the durations directly; the decoder stage is the inverse
-        # flow.  None → the ambient (make_inference_step) policy applies.
-        enc_scope = _matmul_precision_scope(
-            cfg.tpu.inference_encoder_matmul_precision)
-        with enc_scope:
+        with _matmul_precision_scope(
+                cfg.tpu.inference_encoder_matmul_precision):
             speaker_vec, prosody_vec, _ = self._conditions(
                 mels_for_prosody, mel_lengths_for_prosody, speakers,
                 mels_for_ge2e, True, frozen_ge2e=False)
@@ -268,14 +292,42 @@ class GlowTTS(nn.Module):
                 tokens, token_mask,
                 self._duration_condition(speaker_vec, prosody_vec), True)
 
-        with _matmul_precision_scope(
-                cfg.tpu.inference_encoder_matmul_precision):
             length_scale = jnp.asarray(length_scale, jnp.float32)
             length_scale = jnp.broadcast_to(length_scale.reshape(-1, 1),
                                             log_durations.shape[:2])
             durations = jnp.ceil(
                 jnp.exp(log_durations[..., 0].astype(jnp.float32))
                 * token_mask[..., 0] * length_scale)         # [B, T_tok]
+        return {
+            'mean': mean,
+            'log_std': log_std,
+            'durations': durations,
+            'token_mask': token_mask,
+            'speaker_vec': speaker_vec,
+            'prosody_vec': prosody_vec,
+        }
+
+    def inference_decode(self,
+                         prior: Dict[str, Any],
+                         pitches: Optional[jax.Array] = None,
+                         pitch_lengths: Optional[jax.Array] = None,
+                         noise_key: Optional[jax.Array] = None,
+                         noise_scale: float = 1.0,
+                         max_mel_length: int = 1024) -> Dict[str, Any]:
+        """Phase 2 of serving: alignment path, z sampling and the inverse
+        flow into a ``[B, max_mel_length, M]`` buffer.  ``max_mel_length``
+        is a static bucket — the decode FLOPs scale with it, which is the
+        point of the two-phase split.  The path/z einsums run under the
+        encoder precision stage (their error enters z directly), the
+        inverse flow under the decoder stage."""
+        cfg = self.config
+        mean, log_std = prior['mean'], prior['log_std']
+        durations, token_mask = prior['durations'], prior['token_mask']
+        speaker_vec = prior.get('speaker_vec')
+        prosody_vec = prior.get('prosody_vec')
+
+        with _matmul_precision_scope(
+                cfg.tpu.inference_encoder_matmul_precision):
             mel_lengths = jnp.maximum(durations.sum(axis=1), 1.0)
             mel_lengths = jnp.minimum(mel_lengths, max_mel_length)
             # keep the squeeze-truncation exact: round down to num_squeeze

