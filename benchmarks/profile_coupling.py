@@ -139,6 +139,13 @@ def main():
                 row[f'{backend}_logdet_max_diff'] = ld_err
             results['runs'][key] = row
             print(json.dumps({key: row}), flush=True)
+            # persist after every row: cold-cache compiles through the
+            # remote relay run ~5 min each, so a bounded invocation may
+            # be killed mid-sweep — measured rows must survive it
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    'coupling_results.json'), 'w') as f:
+                json.dump(results, f, indent=1)
 
     if args.profile:
         from benchmarks.profile_ops import profile_device_ops
