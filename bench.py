@@ -6,11 +6,28 @@ Protocol mirrors the measured reference baseline
 duration predictor on both sides), full inference path (text encoder →
 durations → path → sampled latent → inverse flow).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output protocol (un-losable by construction):
+
+* the HEADLINE JSON line is printed the moment the headline number
+  exists — before any enrichment section compiles anything, so a crash,
+  tunnel flake or driver timeout later cannot lose it;
+* each enrichment section (fast mode, device-side chain, train MFU,
+  per-mode) runs in its own try/except and respects a wall-clock budget
+  (``GLOWTTS_BENCH_BUDGET_SECS``, default 480): a failing or skipped
+  section is recorded in ``extra.section_errors`` / ``extra.skipped``
+  instead of killing the run;
+* the final, enriched JSON line is printed last — a driver that parses
+  the last JSON line gets the full result on success and the bare
+  headline on partial failure.
+
+The JSON carries ``vs_previous``: each captured metric vs the last
+round's committed value (BENCH_r02.json as of round 4), so a >10 %
+regression is visible in the artifact itself.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -29,6 +46,8 @@ _PEAK_FLOPS = {
     'TPU v4': 275e12,
     'TPU v6 lite': 918e12,      # v6e / Trillium
 }
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _peak_flops(device) -> float:
@@ -61,7 +80,6 @@ def _wait_for_backend(max_wait: float) -> bool:
     probe can be timed out and retried; on CPU it returns immediately.
     """
     import subprocess
-    import sys
     probe = ("import jax, jax.numpy as jnp;"
              "print('BENCH_OK', float(jnp.ones((8, 8)).sum()))")
     deadline = time.monotonic() + max_wait
@@ -91,18 +109,22 @@ def main():
             'value': None, 'unit': 'frames/s', 'vs_baseline': None,
             'extra': {'error': 'device backend unreachable after '
                                f'{wait_secs:.0f}s of probing'},
-        }))
+        }), flush=True)
         return 1
+
+    budget = float(os.environ.get('GLOWTTS_BENCH_BUDGET_SECS', '480'))
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
 
     import jax
     import jax.numpy as jnp
     # Reuse compiled executables across bench invocations.  Must go through
     # jax.config (a sitecustomize pre-imports jax, so the
     # JAX_COMPILATION_CACHE_DIR env var is read too early to set here).
-    jax.config.update(
-        'jax_compilation_cache_dir',
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     '.jax_cache'))
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(_REPO, '.jax_cache'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from glow_tts_tpu.config import load_config
     from glow_tts_tpu.training.step import (
@@ -134,6 +156,9 @@ def main():
     infer = jax.jit(make_inference_step(cfg, model, max_mel_length=MAX_MEL))
     key = jax.random.PRNGKey(1)
 
+    # ===================== headline (printed immediately) =================
+    print(f'bench: headline warmup ({remaining():.0f}s budget left)',
+          file=sys.stderr)
     for _ in range(WARMUP):
         out = infer(state, batch, key)
     jax.block_until_ready(out)
@@ -163,11 +188,44 @@ def main():
     audio_sec = frames * cfg.sound.frame_shift / cfg.sound.sample_rate
     rtf = pipelined / audio_sec
 
-    # fast mode: bf16 activations + 1-pass MXU (MAE ~4e-2 — for use cases
-    # that trade fidelity for throughput; the headline above runs the
-    # default fidelity-grade policy, MAE 7.7e-5)
-    fast_fps = None
-    if os.environ.get('GLOWTTS_BENCH_FAST', '1') != '0':
+    vs_baseline = None
+    baseline_path = os.path.join(_REPO, 'BASELINE_MEASURED.json')
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = frames_per_sec / baseline['mel_frames_per_sec']
+
+    extra = {
+        'device': str(jax.devices()[0]),
+        'batch': BATCH,
+        'seconds_per_batch': round(pipelined, 5),
+        'latency_sec_per_batch': round(latency, 5),
+        'mel_frames': frames,
+        'rtf': round(rtf, 6),
+        'compute_dtype': cfg.tpu.compute_dtype,
+        'coupling_backend': cfg.tpu.coupling_backend,
+        'inference_policy': f'{cfg.tpu.inference_dtype}+'
+                            f'{cfg.tpu.inference_matmul_precision}',
+        'skipped': [],
+        'section_errors': {},
+    }
+    result = {
+        'metric': 'mel_frames_per_sec_per_chip',
+        'value': round(frames_per_sec, 1),
+        'unit': 'frames/s',
+        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
+        'extra': extra,
+    }
+    # the un-losable headline: whatever happens after this line, the
+    # driver's capture has a parseable result
+    print(json.dumps(result), flush=True)
+
+    # ===================== enrichment sections ============================
+
+    def section_fast():
+        # fast mode: bf16 activations + 1-pass MXU (MAE ~4e-2 — for use
+        # cases that trade fidelity for throughput; the headline above runs
+        # the default fidelity-grade policy, MAE 7.7e-5)
         import dataclasses
         cfg_fast = dataclasses.replace(cfg, tpu=dataclasses.replace(
             cfg.tpu, inference_dtype='bfloat16',
@@ -182,14 +240,12 @@ def main():
             outs.append(infer_fast(state, batch, jax.random.fold_in(key, i)))
         float(jnp.sum(outs[-1]['mels']))        # ordered scalar readback
         fast_fps = frames / ((time.perf_counter() - t0) / ITERS)
+        extra['fast_mode_frames_per_sec'] = round(fast_fps, 1)
 
-    # --- device-side inference time (excludes host/tunnel dispatch) -------
-    # chain iterations through a carried scalar so XLA cannot hoist or
-    # overlap them; measures the true on-chip batch latency.  Default-on so
-    # BENCH_rN.json is self-sufficient; GLOWTTS_BENCH_DEVICE=0 opts out if
-    # the extra compile is a concern.
-    device_sec = device_fps = None
-    if os.environ.get('GLOWTTS_BENCH_DEVICE', '1') != '0':
+    def section_device():
+        # device-side inference time (excludes host/tunnel dispatch): chain
+        # iterations through a carried scalar so XLA cannot hoist or overlap
+        # them; measures the true on-chip batch latency.
         CHAIN_DEV = 30           # 10 left ~3.5 ms/step of tunnel dispatch
         infer_fn = make_inference_step(cfg, model, max_mel_length=MAX_MEL)
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -216,13 +272,11 @@ def main():
         total = chained_inference(state, key)
         frames_total = float(np.asarray(total[0]))   # readback in region
         device_sec = (time.perf_counter() - t0) / CHAIN_DEV
-        device_fps = (frames_total / CHAIN_DEV) / device_sec
+        extra['device_side_sec_per_batch'] = round(device_sec, 5)
+        extra['device_side_frames_per_sec'] = round(
+            (frames_total / CHAIN_DEV) / device_sec, 1)
 
-    # --- training throughput + MFU (default-on; GLOWTTS_BENCH_TRAIN=0
-    # opts out) -------------------------------------------------------------
-    train_fps = train_sec = None
-    train_loss = train_flops = train_mfu = None
-    if os.environ.get('GLOWTTS_BENCH_TRAIN', '1') != '0':
+    def section_train():
         from glow_tts_tpu.training.step import make_train_step
         t_mel = 768
         train_batch = {
@@ -271,21 +325,22 @@ def main():
             float(np.asarray(out[1]['total']))
             times.append(time.perf_counter() - t0)
         train_sec = min(times) / CHAIN
-        train_fps = train_frames / train_sec
-        train_loss = round(float(np.asarray(out[1]['total'])), 4)
+        extra['train_sec_per_step'] = round(train_sec, 5)
+        extra['train_frames_per_sec'] = round(train_frames / train_sec, 1)
+        extra['train_loss'] = round(float(np.asarray(out[1]['total'])), 4)
+        extra['train_flops_per_step'] = train_flops
         peak = _peak_flops(jax.devices()[0])
         if train_flops and peak:
-            train_mfu = train_flops / train_sec / peak
+            extra['train_mfu'] = round(train_flops / train_sec / peak, 4)
 
-    # --- per-mode throughput: SE-LUT / SE-GE2E / PE / GR ------------------
-    # Reference capability is four modes (``Modules.py:22-48``); a perf
-    # regression in any conditioning encoder (GE2E LSTM, GST conv/GRU
-    # stack, pitch interpolation) must surface in BENCH_rN
-    # (GLOWTTS_BENCH_MODES=0 opts out).
-    modes = None
-    if os.environ.get('GLOWTTS_BENCH_MODES', '1') != '0':
+    def section_modes():
+        # per-mode throughput: SE-LUT / SE-GE2E / PE / GR.  Reference
+        # capability is four modes (``Modules.py:22-48``); a perf regression
+        # in any conditioning encoder (GE2E LSTM, GST conv/GRU stack, pitch
+        # interpolation) must surface in BENCH_rN.
         from glow_tts_tpu.training.step import make_train_step
         modes = {}
+        extra['modes'] = modes
         MODE_SPECS = [
             ('SE_LUT', {'Mode': 'SE'}, True),
             ('SE_GE2E', {'Mode': 'SE',
@@ -295,6 +350,9 @@ def main():
         ]
         t_mel_train = 768
         for mode_name, overrides, bench_train in MODE_SPECS:
+            if remaining() < 90:
+                extra['skipped'].append(f'modes:{mode_name}')
+                continue
             mcfg = load_config({
                 **overrides,
                 'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'}})
@@ -360,8 +418,9 @@ def main():
             m_fps = m_frames / CHAIN_M / m_sec
             entry = {'infer_frames_per_sec': round(m_fps, 1),
                      'infer_sec_per_batch': round(m_sec, 5)}
+            modes[mode_name] = entry
 
-            if bench_train:
+            if bench_train and remaining() > 90:
                 mb_train = dict(mb_init)
                 mb_train['mels'] = rng.standard_normal(
                     (BATCH, t_mel_train, mcfg.sound.mel_dim)
@@ -392,48 +451,62 @@ def main():
                 entry['train_sec_per_step'] = round(
                     (time.perf_counter() - t0) / CHAIN_M, 5)
                 entry['train_loss'] = round(m_loss, 4)
-            modes[mode_name] = entry
+            elif bench_train:
+                extra['skipped'].append(f'modes:{mode_name}:train')
 
-    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 'BASELINE_MEASURED.json')
-    vs_baseline = None
-    if os.path.exists(baseline_path):
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-        vs_baseline = frames_per_sec / baseline['mel_frames_per_sec']
+    sections = [
+        ('fast', section_fast, 'GLOWTTS_BENCH_FAST'),
+        ('device', section_device, 'GLOWTTS_BENCH_DEVICE'),
+        ('train', section_train, 'GLOWTTS_BENCH_TRAIN'),
+        ('modes', section_modes, 'GLOWTTS_BENCH_MODES'),
+    ]
+    for name, fn, env in sections:
+        if os.environ.get(env, '1') == '0':
+            continue
+        if remaining() < 120:
+            extra['skipped'].append(name)
+            print(f'bench: skipping {name} '
+                  f'({remaining():.0f}s budget left)', file=sys.stderr)
+            continue
+        print(f'bench: section {name} ({remaining():.0f}s budget left)',
+              file=sys.stderr)
+        try:
+            fn()
+        except Exception as e:          # noqa: BLE001 — record, never die
+            extra['section_errors'][name] = repr(e)[:500]
+            print(f'bench: section {name} failed: {e!r}', file=sys.stderr)
 
-    print(json.dumps({
-        'metric': 'mel_frames_per_sec_per_chip',
-        'value': round(frames_per_sec, 1),
-        'unit': 'frames/s',
-        'vs_baseline': round(vs_baseline, 2) if vs_baseline else None,
-        'extra': {
-            'device': str(jax.devices()[0]),
-            'batch': BATCH,
-            'seconds_per_batch': round(pipelined, 5),
-            'latency_sec_per_batch': round(latency, 5),
-            'mel_frames': frames,
-            'rtf': round(rtf, 6),
-            'compute_dtype': cfg.tpu.compute_dtype,
-            'coupling_backend': cfg.tpu.coupling_backend,
-            'inference_policy': f'{cfg.tpu.inference_dtype}+'
-                                f'{cfg.tpu.inference_matmul_precision}',
-            'fast_mode_frames_per_sec':
-                round(fast_fps, 1) if fast_fps else None,
-            'device_side_frames_per_sec':
-                round(device_fps, 1) if device_fps else None,
-            'device_side_sec_per_batch':
-                round(device_sec, 5) if device_sec else None,
-            'train_frames_per_sec':
-                round(train_fps, 1) if train_fps else None,
-            'train_sec_per_step':
-                round(train_sec, 5) if train_sec else None,
-            'train_loss': train_loss,
-            'train_flops_per_step': train_flops,
-            'train_mfu': round(train_mfu, 4) if train_mfu else None,
-            'modes': modes,
-        },
-    }))
+    # ---- vs_previous: last round's committed values (regression guard) ---
+    prev_path = os.path.join(_REPO, 'BENCH_PREV.json')
+    try:
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev = json.load(f)
+            vs_prev = {}
+            if prev.get('value'):
+                vs_prev['mel_frames_per_sec'] = round(
+                    frames_per_sec / prev['value'], 3)
+            px = prev.get('extra') or {}
+            for key_name, higher_better in [
+                    ('fast_mode_frames_per_sec', True),
+                    ('device_side_frames_per_sec', True),
+                    ('train_frames_per_sec', True),
+                    ('train_mfu', True),
+                    ('train_sec_per_step', False)]:
+                a, b = extra.get(key_name), px.get(key_name)
+                if a and b:
+                    vs_prev[key_name] = round(a / b, 3)
+            extra['vs_previous'] = vs_prev
+            extra['vs_previous_source'] = prev.get('source', 'BENCH_PREV')
+    except Exception as e:              # noqa: BLE001
+        extra['section_errors']['vs_previous'] = repr(e)[:200]
+
+    if not extra['section_errors']:
+        del extra['section_errors']
+    if not extra['skipped']:
+        del extra['skipped']
+    print(json.dumps(result), flush=True)
+    return 0
 
 
 if __name__ == '__main__':

@@ -31,6 +31,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH, T_MEL = 32, 768
 
+_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    'coupling_results.json')
+
+
+def save_results(results):
+    """Atomic per-row persist: a bounded invocation killed mid-dump must
+    not truncate previously saved rows (ADVICE r3) — write to a temp file
+    in the same directory and os.replace() over the target."""
+    tmp = _OUT + '.tmp'
+    with open(tmp, 'w') as f:
+        json.dump(results, f, indent=1)
+    os.replace(tmp, _OUT)
+
 
 def build(backend, dtype_str):
     import jax
@@ -114,6 +127,7 @@ def main():
                     'note': 'fused/mega gates fall back to flax here; no '
                             'kernel measurement possible'}
                 print(json.dumps({key: results['runs'][key]}), flush=True)
+                save_results(results)       # fallback rows persist too
                 continue
             row = {'flax_ms': round(ms_f, 3)}
             if prec:
@@ -142,10 +156,7 @@ def main():
             # persist after every row: cold-cache compiles through the
             # remote relay run ~5 min each, so a bounded invocation may
             # be killed mid-sweep — measured rows must survive it
-            with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    'coupling_results.json'), 'w') as f:
-                json.dump(results, f, indent=1)
+            save_results(results)
 
     if args.profile:
         from benchmarks.profile_ops import profile_device_ops
@@ -166,10 +177,7 @@ def main():
             for op, ms in top:
                 print(f'#   {ms:8.4f} ms  {op}', flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       'coupling_results.json')
-    with open(out, 'w') as f:
-        json.dump(results, f, indent=1)
+    save_results(results)
     print(json.dumps({k: v for k, v in results.items() if k != 'runs'}))
 
 

@@ -77,10 +77,18 @@ def _mk_dot(mxu3x: bool):
     manually because Mosaic lowers an f32 ``jnp.dot`` to a SINGLE bf16
     pass (measured ~2.7e-1 max err at K=512).  This is what lets the
     fused kernels serve the f32+tf32 selective-precision inference
-    policy (config ``tpu.inference_*_matmul_precision``)."""
+    policy (config ``tpu.inference_*_matmul_precision``).
+
+    Every dot pins ``precision=DEFAULT``: the kernels trace under the
+    caller's ambient ``jax.default_matmul_precision`` scope, and a
+    'highest' ambient makes Mosaic emit ``contract_precision<fp32>`` on
+    bf16 operands, which its matmul lowering rejects ('Bad lhs type' on
+    v5e).  DEFAULT is exact for bf16 operands (one MXU pass, fp32
+    accumulation), so pinning loses nothing."""
     if not mxu3x:
         return functools.partial(jnp.dot,
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.DEFAULT)
 
     def dot3(a, b):
         a = a.astype(jnp.float32)
@@ -89,7 +97,8 @@ def _mk_dot(mxu3x: bool):
         al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
         bh = b.astype(jnp.bfloat16)
         bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        d = functools.partial(jnp.dot, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.DEFAULT)
         return d(ah, bh) + d(ah, bl) + d(al, bh)
 
     return dot3
@@ -399,10 +408,12 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
             zb[0] = jnp.concatenate(
                 [xa_v.astype(jnp.float32), z], axis=1).astype(dt)
             lm = logs * m
+            # ldc arrives whole ([S, 1] in SMEM; sub-(8,128) blocks fail
+            # Mosaic lowering) — index the forward flow step directly
             for bi in range(bt):
                 ld[gi, bi] = ld[gi, bi] + (
                     jnp.sum(lm[bi * r:bi * r + t])
-                    + ldc[0, 0] * jnp.sum(m[bi * r:bi * r + t]))
+                    + ldc[j, 0] * jnp.sum(m[bi * r:bi * r + t]))
 
     return kernel
 
@@ -910,7 +921,10 @@ def fused_flow_stack(
     ]
     operands = [x_p, m_p, ind, cond_p, an, weights['mix_t'].astype(dt)]
     if not reverse:
-        in_specs.append(bspec((1, 1), lambda i, j: (step_ix(i, j), 0),
+        # whole-array SMEM block: Mosaic requires the last two block dims
+        # divisible by (8, 128) or equal to the array dims — a per-step
+        # (1, 1) block over [S, 1] fails lowering; the kernel indexes by j
+        in_specs.append(bspec((s_steps, 1), lambda i, j: (0, 0),
                               space=pltpu.SMEM))
         operands.append(
             jnp.asarray(weights['ld_const'], jnp.float32).reshape(-1, 1))

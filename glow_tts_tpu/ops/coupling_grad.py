@@ -66,9 +66,13 @@ def _mk_dot_dims(mxu3x: bool, dims):
     ``a·bᵀ`` (dim 1 with dim 1) without materialising transposes."""
     dn = (dims, ((), ()))
 
+    # precision pinned to DEFAULT for the same reason as coupling._mk_dot:
+    # an ambient 'highest' scope makes Mosaic emit contract_precision<fp32>
+    # on bf16 operands, which fails its matmul lowering ('Bad lhs type')
     def dot1(a, b):
         return jax.lax.dot_general(a, b, dn,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.DEFAULT)
 
     if not mxu3x:
         return dot1
@@ -330,7 +334,7 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
         # + the logdet cotangent (per-sample scalar) on the valid rows
         dlogs = jnp.concatenate(
             [dlogs[bi * r:(bi + 1) * r]
-             + dld[0, bi] * m[bi * r:(bi + 1) * r]
+             + dld[gi, bi] * m[bi * r:(bi + 1) * r]
              for bi in range(bt)], axis=0)
         douts = jnp.concatenate([dzb_m, dlogs], axis=1)  # [p, c] f32
         douts_v = douts.astype(dt)
@@ -595,7 +599,9 @@ def _bwd_call(ckpt, dz, dld, mask, weights, cond, pitch, seed, *,
         bspec((1, 1, p, c),
               lambda i, j: (i // fold, s_steps - 1 - j, i % fold, 0)),
         bspec((1, p, c), lambda i, j: (i, 0, 0)),                 # dz
-        pl.BlockSpec((1, bt), lambda i, j: (i, 0),
+        # dld whole ([nb, bt] in SMEM; a (1, bt) block fails Mosaic's
+        # sub-(8,128) SMEM rule) — the kernel indexes rows by program_id
+        pl.BlockSpec((nb, bt), lambda i, j: (0, 0),
                      memory_space=pltpu.SMEM),                    # dld
         bspec((1, p, 1), lambda i, j: (i, 0, 0)),                 # mask
         whole,                                                    # indicator
