@@ -509,7 +509,7 @@ def ideal_diagonality(true_durations, token_lengths, mel_lengths):
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         state_file=None, max_tokens=None, corpus_name='v3',
         warmup_steps=0, freeze_steps=0, learning_rate=None,
-        identity_mixing=False):
+        identity_mixing=False, squeeze=None):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -534,11 +534,18 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     train_section = {'Batch_Size': batch_size}
     if learning_rate is not None:
         train_section['Learning_Rate'] = {'Initial': learning_rate}
+    decoder_section = {'Identity_Mixing_Init': identity_mixing}
+    if squeeze is not None:
+        # The squeeze-1 probe (docs/CONVERGENCE.md "the ±1 phase tie"):
+        # without squeeze pairs the frozen featurisation has no even/odd
+        # phase asymmetry for the single per-token Gaussian to blur, so
+        # the frozen-EM lock is not capped by pair-split ties.
+        decoder_section['Num_Squeeze'] = squeeze
     cfg = load_config({
         'Mode': 'Vanilla',
         'Encoder': {'Embedding_Tokens': embedding_tokens},
         'Train': train_section,
-        'Decoder': {'Identity_Mixing_Init': identity_mixing},
+        'Decoder': decoder_section,
         'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
     })
     data, true_durations, frame_token = pad_corpus(
@@ -719,6 +726,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         'alignment_warmup_steps': warmup_steps,
         'decoder_freeze_steps': freeze_steps,
         'identity_mixing_init': identity_mixing,
+        'num_squeeze': cfg.decoder.num_squeeze,
         'train_wall_sec': round(train_wall, 1),
         'ms_per_step_wall': round(
             train_wall / max(step - start_step, 1) * 1000, 2),
@@ -763,13 +771,18 @@ def main():
                         help='Decoder.Identity_Mixing_Init: phase-'
                              'symmetric frozen featurisation (see '
                              'config.py)')
+    parser.add_argument('--squeeze', type=int, default=None,
+                        help='override Decoder.Num_Squeeze (1 removes the '
+                             'squeeze-pair phase asymmetry — see '
+                             'docs/CONVERGENCE.md)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
                   batch_size=args.batch_size, max_tokens=args.max_tokens,
                   state_file=args.state_file, corpus_name=args.corpus,
                   warmup_steps=args.warmup, freeze_steps=args.freeze,
-                  learning_rate=args.lr, identity_mixing=args.identity_mix)
+                  learning_rate=args.lr, identity_mixing=args.identity_mix,
+                  squeeze=args.squeeze)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'convergence_results.json')

@@ -12,6 +12,7 @@ Checks, in order:
 Run: timeout 570 python benchmarks/verify_drive.py
 """
 
+import dataclasses
 import os
 import sys
 
@@ -89,6 +90,45 @@ def main():
           bool(np.isfinite(mels).all()),
           'lengths:', np.asarray(out['mel_lengths']))
     assert np.isfinite(mels).all()
+
+    # 4. train-direction megakernel pair at PRODUCTION length: t=384
+    #    squeezed engages the ckpt-fold backward (fwd tile 2 / bwd tile 1
+    #    through the 5-D checkpoint view) — grad finite and close to the
+    #    flax/XLA gradient on the same params.
+    cfg_m = load_config({'Mode': 'Vanilla',
+                         'TPU': {'coupling_backend': 'mega',
+                                 'compute_dtype': 'bfloat16'}})
+    dec = D.FlowDecoder(cfg_m, dtype=jnp.bfloat16)
+    xl = jnp.asarray(rng.standard_normal((8, 768, 80)), jnp.bfloat16)
+    ml = jnp.ones((8, 768, 1), jnp.float32)
+    p = dec.init(jax.random.PRNGKey(3), xl, ml)
+
+    def loss(pp, fl):
+        cfg_x = dataclasses.replace(
+            cfg_m, tpu=dataclasses.replace(cfg_m.tpu,
+                                           coupling_backend=fl))
+        z, ld, _ = D.FlowDecoder(cfg_x, dtype=jnp.bfloat16).apply(
+            pp, xl, ml, deterministic=False,
+            rngs={'dropout': jax.random.PRNGKey(4)})
+        return jnp.mean(z.astype(jnp.float32) ** 2) - jnp.mean(ld) * 1e-4
+
+    gm = jax.jit(jax.grad(lambda pp: loss(pp, 'mega')))(p)
+    gf = jax.jit(jax.grad(lambda pp: loss(pp, 'flax')))(p)
+    nm = np.sqrt(sum(float(jnp.sum(a.astype(jnp.float32) ** 2))
+                     for a in jax.tree_util.tree_leaves(gm)))
+    nf = np.sqrt(sum(float(jnp.sum(a.astype(jnp.float32) ** 2))
+                     for a in jax.tree_util.tree_leaves(gf)))
+    dn = np.sqrt(sum(
+        float(jnp.sum((a.astype(jnp.float32)
+                       - b.astype(jnp.float32)) ** 2))
+        for a, b in zip(jax.tree_util.tree_leaves(gm),
+                        jax.tree_util.tree_leaves(gf))))
+    print(f'train-mega fold grad: |g_mega|={nm:.4f} |g_flax|={nf:.4f} '
+          f'rel-diff {dn / max(nf, 1e-9):.3f}')
+    assert np.isfinite(nm) and nm > 0
+    # dropout masks differ between backends (hash vs threefry) — norms
+    # must agree to ~15 %, not elementwise
+    assert abs(nm - nf) / max(nf, 1e-9) < 0.15
     print('VERIFY OK')
 
 

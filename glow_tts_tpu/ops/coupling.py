@@ -419,34 +419,67 @@ def _make_mega_kernel(n: int, k: int, ch: int, c2: int, bt: int, r: int,
 
 
 def pick_batch_tile(t: int, k: int, ch: int, c: int, dt,
-                    *, n: int = 4, train: bool = False,
+                    *, n: int = 4, train: bool = False, nc: int = 2,
                     requested: Optional[int] = None,
-                    budget: int = 15 << 20) -> int:
+                    budget: int = 15_700_000) -> int:
     """VMEM-aware batch tile for the flow-stack kernels (the analogue of
-    ``ops/mas.py``'s VMEM guard).  The large per-row buffers (im2col
-    columns, padded activations, skip accumulator, carry block, train
-    checkpoint) scale with ``bt·(t + k − 1)``; at the production mel
-    bucket ceiling (1000 frames → 500 squeezed) the default tile of 4
-    would exceed the ~16 MB VMEM, so the tile drops until the estimate
-    fits.  The estimate is approximate (Mosaic's live values and
-    scheduling add slack) — ``requested`` overrides it."""
+    ``ops/mas.py``'s VMEM guard).
+
+    Calibrated against hardware compile probes at production length
+    (``benchmarks/calibrate_vmem.py``, v5e t=384, 2026-08-19): Mosaic
+    double-buffers every grid-streamed block (x/z/ckpt cost 2×), the
+    train kernels' counter-hash dropout masks live as per-chunk
+    ``(p/nc, 2ch)`` f32 vector temporaries on the stack, and the f32
+    3-pass MXU decomposition materialises bf16 hi/lo copies of both dot
+    operands.  Measured scoped-VMEM, estimate → verdict:
+
+    * bf16 non-train  bt=4: est 14.2 M → fits (hardware: fits)
+    * bf16 train fwd  bt=4: est 22.3 M → reject (hardware: 23.9 M OOM)
+    * bf16 train fwd  bt=2: est 14.8 M → fits (hardware: fits)
+    * f32  non-train  bt=4: est 23.8 M → reject (hardware: 22.41 M OOM)
+    * f32  non-train  bt=2: est 14.8 M → fits (hardware: fits)
+    Probe methodology caveat (cost half a round): compile-probing the
+    kernels with CLOSURE-CONSTANT operands reports different scoped-VMEM
+    than the production path (decoder ``apply`` with params as jit
+    arguments) — constant folding changes the custom call's operand
+    layouts and Mosaic's padding with them (direct-call probe: bf16
+    bt=4 "OOM 21.53 M"; the identical shapes through the decoder:
+    fits, and measured 4.59 ms on hardware).  Calibration probes must
+    therefore go through the decoder path; the OOM rows above were all
+    confirmed by production-path compiles.
+
+    ``requested`` overrides the estimate."""
     if requested is not None:
         return requested
     esz = 2 if dt == jnp.bfloat16 else 4
+    mxu3x = esz == 4             # on hardware f32 runs the 3-pass path
+    stream = esz == 4            # ... and manual weight streaming
     pad = (k - 1) // 2
     r = t + 2 * pad
     kch, ch2 = k * ch, 2 * ch
-    # fixed: bf16 keeps the whole per-step weight stack in VMEM blocks
-    # (double-buffered across the grid's flow axis); f32 manually
-    # DMA-streams per layer through 2 slots (the stream_weights mode)
-    slots = 2 * n if esz == 2 else 2
-    fixed = slots * (kch * ch2 + ch * ch2) * esz + (1 << 20)
-    # per packed row: im2col + padded acts + x + z blocks, f32 skip, mask
-    row = (kch + ch + 2 * c) * esz + ch * 4 + 4
+    # weights: bf16 keeps per-step stacks in double-buffered BlockSpec
+    # blocks; f32 manually DMA-streams per layer through 2 slots
+    slots = 2 if stream else 2 * n
+    fixed = slots * (kch * ch2 + ch * ch2) * esz + (1 << 20)   # + misc
+    if mxu3x:
+        # bf16 hi/lo of the weight operand (b-side of every dot)
+        fixed += 2 * kch * ch2 * 2
+    # per packed row: x+z grid blocks double-buffered, im2col columns,
+    # padded activations, f32 skip accumulator, mask
+    row = (4 * c + kch + ch) * esz + ch * 4 + 4
     if train:
-        row += 2 * c * esz          # the checkpoint output block
+        row += 2 * c * esz          # checkpoint block, double-buffered
     for bt in (4, 2, 1):
-        if fixed + bt * r * row <= budget:
+        p = bt * r
+        chunk = max(p // nc, 1)
+        extra = 0
+        if train:
+            # live dropout keep-scale temporaries (hash + mask, f32)
+            extra += 6 * chunk * ch2 * 4
+        if mxu3x:
+            # bf16 hi/lo of the activation operand per chunk
+            extra += 2 * chunk * kch * 2
+        if fixed + p * row + extra <= budget:
             return bt
     return 1
 
@@ -536,7 +569,8 @@ def fused_coupling(
         # hardware f32 dots need the 3-pass decomposition (the interpreter
         # computes exact f32 — keep it that way for CPU parity tests)
         mxu3x = dt == jnp.float32 and not interpret
-    bt = pick_batch_tile(t, k, ch, 2 * c2, dt, n=n, requested=batch_tile)
+    bt = pick_batch_tile(t, k, ch, 2 * c2, dt, n=n, nc=row_chunks,
+                         requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r
@@ -696,7 +730,8 @@ def fused_flow_step(
         stream_weights = dt == jnp.float32
     if mxu3x is None:
         mxu3x = dt == jnp.float32 and not interpret
-    bt = pick_batch_tile(t, k, ch, c, dt, n=n, requested=batch_tile)
+    bt = pick_batch_tile(t, k, ch, c, dt, n=n, nc=row_chunks,
+                         requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r
@@ -867,7 +902,8 @@ def fused_flow_stack(
         stream_weights = dt == jnp.float32
     if mxu3x is None:
         mxu3x = dt == jnp.float32 and not interpret
-    bt = pick_batch_tile(t, k, ch, c, dt, n=n, requested=batch_tile)
+    bt = pick_batch_tile(t, k, ch, c, dt, n=n, nc=row_chunks,
+                         requested=batch_tile)
     pad_t = (k - 1) // 2
     r = t + 2 * pad_t
     p = bt * r

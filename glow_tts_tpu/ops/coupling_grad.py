@@ -279,7 +279,7 @@ def _make_train_bwd_kernel(n, k, ch, c2, bt, r, t, p, s_steps, rate,
         # ================= phase 1: ascending recompute =================
         for li in range(n):
             dma_win(li).start()
-        x_in = ckpt[0, 0]                               # [p, c] dt
+        x_in = ckpt[0, 0, 0]                            # [p, c] dt
         xf = x_in.astype(jnp.float32)
         el_an = jnp.exp(an[0, 0])[None, :]
         y = (an[0, 1][None, :] + el_an * xf) * m        # f32
@@ -594,10 +594,17 @@ def _bwd_call(ckpt, dz, dld, mask, weights, cond, pitch, seed, *,
     def sj(_, j):
         return s_steps - 1 - j
 
+    # The checkpoint keeps the FORWARD packing (nb_f, S, fold·p, c).
+    # Split the packed-row axis into (fold, p) — a free row-major view —
+    # so the block's last two dims EQUAL the array dims: a (…, p, c)
+    # block over a (…, fold·p, c) array violates Mosaic's divisible-by-8
+    # rule whenever fold > 1 and p % 8 != 0 (r = t + k − 1 is odd-ish;
+    # e.g. bt_f=2/bt=1 at t=384 → block 388 over 776, rejected on
+    # hardware 2026-08-19).
+    ckpt = ckpt.reshape(ckpt.shape[0], s_steps, fold, p, c)
     in_specs = [
-        # the checkpoint keeps the FORWARD packing: fold-block addressing
-        bspec((1, 1, p, c),
-              lambda i, j: (i // fold, s_steps - 1 - j, i % fold, 0)),
+        bspec((1, 1, 1, p, c),
+              lambda i, j: (i // fold, s_steps - 1 - j, i % fold, 0, 0)),
         bspec((1, p, c), lambda i, j: (i, 0, 0)),                 # dz
         # dld whole ([nb, bt] in SMEM; a (1, bt) block fails Mosaic's
         # sub-(8,128) SMEM rule) — the kernel indexes rows by program_id
@@ -843,7 +850,16 @@ def fused_flow_stack_train(
     from glow_tts_tpu.ops.coupling import pick_batch_tile
     batch_tile = pick_batch_tile(
         t, weights['w_in'].shape[2], weights['w_in'].shape[3], c, x.dtype,
-        n=weights['w_in'].shape[1], train=True, requested=batch_tile)
+        n=weights['w_in'].shape[1], train=True, nc=row_chunks,
+        requested=batch_tile)
+    # Backward-kernel tile, calibrated on hardware compile probes
+    # (benchmarks/calibrate_vmem.py, v5e 2026-08-19): the bwd kernel's
+    # n-slot recompute scratch + weight-grad buffers leave room for
+    # bt=2 only up to r≈256 packed rows per sample (t=96 fits at 2;
+    # t=384 OOMs at 19.31M and needs 1).
+    k_ = weights['w_in'].shape[2]
+    if t + (k_ - 1) > 256:
+        bwd_batch_tile = 1
     bwd_batch_tile = min(bwd_batch_tile, batch_tile)
     if not _skip_shard:
         from glow_tts_tpu.parallel import mesh as mesh_lib

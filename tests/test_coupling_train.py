@@ -377,11 +377,17 @@ def test_vmem_tile_guard_and_explicit_tiles():
     non-default forward tile still matches the twin."""
     from glow_tts_tpu.ops.coupling import pick_batch_tile
 
-    # production dims: k=5, ch=192, C=160, n=4 — bench length keeps 4,
-    # the mel-bucket ceiling (1000 frames → 500 squeezed) drops to 2
-    assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16, train=True) == 4
-    assert pick_batch_tile(500, 5, 192, 160, jnp.bfloat16, train=True) == 2
+    # production dims: k=5, ch=192, C=160, n=4.  Expectations are pinned
+    # to the hardware compile probes (benchmarks/vmem_calibration.json,
+    # v5e 2026-08-19): non-train bf16 keeps 4 at bench length; the train
+    # kernels' dropout-mask stack temporaries force 2 at bench length
+    # (bt=4 measured 23.9 M OOM, bt=2 fits); f32's 3-pass decomposition
+    # temporaries force 2 (bt=4 measured 22.41 M OOM).
     assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16) == 4
+    assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16, train=True) == 2
+    assert pick_batch_tile(384, 5, 192, 160, jnp.float32) == 2
+    assert pick_batch_tile(96, 5, 192, 160, jnp.bfloat16, train=True) == 4
+    assert pick_batch_tile(500, 5, 192, 160, jnp.bfloat16, train=True) == 1
     assert pick_batch_tile(100, 5, 192, 160, jnp.bfloat16,
                            requested=1) == 1
 
@@ -400,3 +406,44 @@ def test_vmem_tile_guard_and_explicit_tiles():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ld2), np.asarray(ldr),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_train_grads_fold_bwd_tile():
+    """Forward tile 2 / backward tile 1 (ckpt_fold = 2): the production
+    configuration at t > 256 — the backward kernel reads the checkpoint
+    through the 5-D (nb, S, fold, p, c) view whose block dims equal the
+    array dims (a (…, p, c) block over (…, fold·p, c) is Mosaic-illegal
+    when p % 8 != 0; failed on hardware 2026-08-19).  Gradients must
+    match the twin exactly as in the unfolded case."""
+    rng = np.random.default_rng(5)
+    S, n, k, ch, c = 2, 2, 5, 16, 16
+    b, t, ps = 4, 11, 2
+    x, mask = _inputs(rng, b, t, c, [11, 9, 6, 3])
+    W = _weights(rng, S, n, k, ch, c, ps)
+    cond = jnp.asarray(rng.standard_normal((S, n, b, 2 * ch)),
+                       jnp.float32) * .2
+    pitch = jnp.asarray(rng.standard_normal((b, t, ps)),
+                        jnp.float32) * mask
+    seed = jnp.int32(31)
+    zt = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss(**tiles):
+        def inner(W_, x_, c_, p_):
+            z, ld = CG.fused_flow_stack_train(
+                x_, mask, W_, c_, p_, seed=seed, dropout_rate=0.3,
+                interpret=True, **tiles)
+            return jnp.sum(z * zt) + 0.7 * jnp.sum(ld)
+        return inner
+
+    gf = jax.grad(loss(batch_tile=2, bwd_batch_tile=1),
+                  argnums=(0, 1, 2, 3))(W, x, cond, pitch)
+    gu = jax.grad(loss(batch_tile=2, bwd_batch_tile=2),
+                  argnums=(0, 1, 2, 3))(W, x, cond, pitch)
+    for key in W:
+        np.testing.assert_allclose(
+            np.asarray(gf[0][key]), np.asarray(gu[0][key]),
+            rtol=1e-5, atol=1e-5, err_msg=f'weight grad {key}')
+    for name, a, o in (('dx', gf[1], gu[1]), ('dcond', gf[2], gu[2]),
+                       ('dpitch', gf[3], gu[3])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
