@@ -54,6 +54,9 @@ def main():
     parser.add_argument('--lr', type=float, default=3e-4,
                         help='must match the run (part of the config)')
     parser.add_argument('--batch-size', type=int, default=32)
+    parser.add_argument('--squeeze', type=int, default=None,
+                        help='must match the run when it overrode '
+                             'Decoder.Num_Squeeze')
     parser.add_argument('--skip-synthesis', action='store_true',
                         help='only export the checkpoint tree')
     args = parser.parse_args()
@@ -85,6 +88,8 @@ def main():
         'Encoder': {'Embedding_Tokens': embedding_tokens},
         'Train': {'Batch_Size': args.batch_size,
                   'Learning_Rate': {'Initial': args.lr}},
+        **({'Decoder': {'Num_Squeeze': args.squeeze}}
+           if args.squeeze else {}),
         'Token_Path': token_path,
         'Inference_Path': os.path.join(out_dir, 'Inference'),
     })

@@ -453,7 +453,12 @@ def pick_batch_tile(t: int, k: int, ch: int, c: int, dt,
         return requested
     esz = 2 if dt == jnp.bfloat16 else 4
     mxu3x = esz == 4             # on hardware f32 runs the 3-pass path
-    stream = esz == 4            # ... and manual weight streaming
+    # manual per-layer weight streaming: always at f32; the train
+    # forward also streams bf16 at production length (its BlockSpec
+    # variant measured 16.58 M scoped VMEM vs the 16.20 M limit inside
+    # the full train step, v5e 2026-08-19) — mirror of the policy in
+    # coupling_grad._fwd_call
+    stream = esz == 4 or (train and t + (k - 1) > 256)
     pad = (k - 1) // 2
     r = t + 2 * pad
     kch, ch2 = k * ch, 2 * ch

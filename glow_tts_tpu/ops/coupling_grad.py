@@ -449,7 +449,17 @@ def _fwd_call(x, mask, weights, cond, pitch, seed, *, rate, bt, nc,
     c2 = c // 2
     s_steps, n, k, ch, ch2 = weights['w_in'].shape
     if stream is None:
-        stream = dt == jnp.float32
+        # Manual per-layer weight streaming beats the BlockSpec route on
+        # VMEM whenever it matters: the BlockSpec block is the whole
+        # n-layer stack, Mosaic double-buffers it (2n layer weights
+        # resident, ~5.6 MB bf16), while the manual DMA keeps 2 single
+        # layers (~1.4 MB).  f32 always needs it; bf16 needs it at
+        # production length, where the BlockSpec variant OOMs scoped
+        # VMEM by 396 KB inside the full train step (16.58 M vs
+        # 16.20 M, v5e 2026-08-19 — row-chunking does NOT help: nc=4
+        # measured 16.72 M, the stack temporaries are not the
+        # dominant term).
+        stream = dt == jnp.float32 or t + (k - 1) > 256
     if mxu3x is None:
         mxu3x = dt == jnp.float32 and not interpret
     pad_t = (k - 1) // 2
@@ -825,7 +835,7 @@ def fused_flow_stack_train(
     dropout_rate: float = 0.0,
     batch_tile: Optional[int] = None,
     bwd_batch_tile: int = 2,
-    row_chunks: int = 2,
+    row_chunks: Optional[int] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -847,9 +857,17 @@ def fused_flow_stack_train(
     """
     b, t, c = x.shape
     seed = jnp.asarray(seed, jnp.int32)
+    k_ = weights['w_in'].shape[2]
+    if row_chunks is None:
+        # nc=2 everywhere: finer chunking was probed as a VMEM lever at
+        # production length and measured WORSE (nc=4: 16.72 M vs nc=2's
+        # 16.58 M, v5e 2026-08-19) — the overage is the double-buffered
+        # whole-stack weight blocks, fixed by per-layer streaming in
+        # :func:`_fwd_call`, not by the stack temporaries.
+        row_chunks = 2
     from glow_tts_tpu.ops.coupling import pick_batch_tile
     batch_tile = pick_batch_tile(
-        t, weights['w_in'].shape[2], weights['w_in'].shape[3], c, x.dtype,
+        t, k_, weights['w_in'].shape[3], c, x.dtype,
         n=weights['w_in'].shape[1], train=True, nc=row_chunks,
         requested=batch_tile)
     # Backward-kernel tile, calibrated on hardware compile probes
@@ -857,7 +875,6 @@ def fused_flow_stack_train(
     # n-slot recompute scratch + weight-grad buffers leave room for
     # bt=2 only up to r≈256 packed rows per sample (t=96 fits at 2;
     # t=384 OOMs at 19.31M and needs 1).
-    k_ = weights['w_in'].shape[2]
     if t + (k_ - 1) > 256:
         bwd_batch_tile = 1
     bwd_batch_tile = min(bwd_batch_tile, batch_tile)

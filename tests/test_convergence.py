@@ -81,10 +81,20 @@ def test_full_convergence_absolute_gate():
     free-running synthesis lands within 5 % of true length."""
     from benchmarks.convergence_run import run
 
-    steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '12000'))
-    corpus = os.environ.get('GLOWTTS_CONVERGENCE_CORPUS', 'v5')
+    # Defaults = the committed lock recipe (docs/CONVERGENCE.md): v7
+    # corpus, linear-path warmup, frozen-decoder EM at lr 3e-4, squeeze 1
+    # (the squeeze-pair phase tie caps frozen-EM accuracy at ~0.85 on the
+    # flagship squeeze-2 config — measured, see the round-4 study).
+    steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '8000'))
+    corpus = os.environ.get('GLOWTTS_CONVERGENCE_CORPUS', 'v7')
+    warmup = int(os.environ.get('GLOWTTS_CONVERGENCE_WARMUP', '500'))
+    freeze = int(os.environ.get('GLOWTTS_CONVERGENCE_FREEZE', str(steps)))
+    lr = float(os.environ.get('GLOWTTS_CONVERGENCE_LR', '3e-4'))
+    squeeze = int(os.environ.get('GLOWTTS_CONVERGENCE_SQUEEZE', '1'))
     results = run(steps=steps, eval_every=1000, batch_size=32,
                   corpus_name=corpus, verbose=True,
+                  warmup_steps=warmup, freeze_steps=freeze,
+                  learning_rate=lr, squeeze=squeeze,
                   state_file=os.environ.get('GLOWTTS_CONVERGENCE_STATE'))
     final = results['history'][-1]
     assert final['alignment_accuracy'] > 0.90, results

@@ -387,7 +387,12 @@ def test_vmem_tile_guard_and_explicit_tiles():
     assert pick_batch_tile(384, 5, 192, 160, jnp.bfloat16, train=True) == 2
     assert pick_batch_tile(384, 5, 192, 160, jnp.float32) == 2
     assert pick_batch_tile(96, 5, 192, 160, jnp.bfloat16, train=True) == 4
-    assert pick_batch_tile(500, 5, 192, 160, jnp.bfloat16, train=True) == 1
+    # Beyond 256 packed rows the bf16 train forward switches to manual
+    # weight streaming (the BlockSpec route OOM'd scoped VMEM by 396 KB
+    # inside the full train step, v5e 2026-08-19), which holds tile 2
+    # out to t=500.
+    assert pick_batch_tile(500, 5, 192, 160, jnp.bfloat16, train=True) == 2
+    assert pick_batch_tile(768, 5, 192, 160, jnp.bfloat16, train=True) == 1
     assert pick_batch_tile(100, 5, 192, 160, jnp.bfloat16,
                            requested=1) == 1
 
@@ -406,6 +411,62 @@ def test_vmem_tile_guard_and_explicit_tiles():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(ld2), np.asarray(ldr),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_train_row_chunks_match():
+    """nc=4 must be numerically identical to nc=2 (the auto pick) through
+    forward and gradients: chunks only tile the packed-row axis of the
+    same MXU contractions.  (nc=4 was probed as a VMEM lever at
+    production length and measured worse — kept here as an explicit
+    knob whose correctness must not rot.)"""
+    rng = np.random.default_rng(9)
+    S, n, k, ch, c = 2, 2, 5, 16, 16
+    b, t = 4, 33                       # p = bt·37: ragged last chunk
+    x, mask = _inputs(rng, b, t, c, [33, 30, 21, 9])
+    W = _weights(rng, S, n, k, ch, c)
+    seed = jnp.int32(11)
+    zt = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    def loss(nc):
+        def inner(W_, x_):
+            z, ld = CG.fused_flow_stack_train(
+                x_, mask, W_, seed=seed, dropout_rate=0.3,
+                row_chunks=nc, interpret=True)
+            return jnp.sum(z * zt) + 0.7 * jnp.sum(ld)
+        return inner
+
+    g2 = jax.grad(loss(2), argnums=(0, 1))(W, x)
+    g4 = jax.grad(loss(4), argnums=(0, 1))(W, x)
+    for key in W:
+        np.testing.assert_allclose(
+            np.asarray(g4[0][key]), np.asarray(g2[0][key]),
+            rtol=1e-5, atol=1e-5, err_msg=f'weight grad {key}')
+    np.testing.assert_allclose(np.asarray(g4[1]), np.asarray(g2[1]),
+                               rtol=1e-5, atol=1e-5, err_msg='dx')
+
+
+def test_train_forward_stream_parity():
+    """Manual per-layer weight streaming (the bf16 policy at production
+    length, where the whole-stack BlockSpec route OOMs scoped VMEM by
+    396 KB — v5e 2026-08-19) must be bit-identical to the BlockSpec
+    route: it changes only how ``w_in``/``w_rs`` reach VMEM."""
+    rng = np.random.default_rng(13)
+    S, n, k, ch, c = 2, 2, 5, 16, 16
+    b, t = 4, 33
+    x, mask = _inputs(rng, b, t, c, [33, 30, 21, 9])
+    W = _weights(rng, S, n, k, ch, c)
+    seed = jnp.int32(5)
+    outs = {}
+    for stream in (False, True):
+        z, ld, ckpt = CG._fwd_call(x, mask, W, None, None, seed,
+                                   rate=0.3, bt=2, nc=2, interpret=True,
+                                   stream=stream)
+        outs[stream] = (np.asarray(z, np.float32),
+                        np.asarray(ld, np.float32),
+                        np.asarray(ckpt, np.float32))
+    for i, name in enumerate(('z', 'logdet', 'ckpt')):
+        np.testing.assert_array_equal(outs[True][i], outs[False][i],
+                                      err_msg=name)
 
 
 def test_train_grads_fold_bwd_tile():
