@@ -321,7 +321,9 @@ def make_corpus_v5(rng, n=2048, vocab=256):
 # classification.  v4 (temporally-white carrier) is the corpus that locks.
 def make_corpus_v6(rng, n=2048, vocab=4096, n_classes=5,
                    word_lo=3, word_hi=8, env_base=-1.5, env_gain=3.2,
-                   space_level=-3.8, space_sigma=0.05):
+                   space_level=-3.8, space_sigma=0.05,
+                   durations=None, space_dur=4,
+                   utt_lo=12, utt_hi=36, loop_cap=30):
     """Round-3 corpus, sixth design: CLASS HIERARCHY + SILENCE ANCHORS.
 
     v5/v5x4096 measured that even with every local-whitening route cut
@@ -357,7 +359,8 @@ def make_corpus_v6(rng, n=2048, vocab=4096, n_classes=5,
         for c in centers])                                # [K, 80]
     class_sigma = np.linspace(0.3, 1.0, n_classes)        # [K]
 
-    durs = 2 + 2 * ((np.arange(vocab) * 7) % 3)           # {2, 4, 6}
+    durs = (durations if durations is not None
+            else 2 + 2 * ((np.arange(vocab) * 7) % 3))    # default {2, 4, 6}
     classes = np.arange(vocab) % n_classes
     fine_sig = rng.normal(0.0, 0.8, (vocab, MEL_DIM))
     fine_sigma = np.exp(rng.uniform(np.log(0.6), np.log(1.6),
@@ -368,17 +371,16 @@ def make_corpus_v6(rng, n=2048, vocab=4096, n_classes=5,
     SPACE = 2 + vocab            # one extra id: the silence anchor
     space_mean = np.full((MEL_DIM,), space_level)
     space_sigma = np.full((MEL_DIM,), space_sigma)
-    space_dur = 4
 
     patterns = []
     for _ in range(n):
         tokens = []
-        while len(tokens) < 30:
+        while len(tokens) < loop_cap:
             word = rng.integers(2, 2 + vocab,
                                 int(rng.integers(word_lo, word_hi)))
             tokens.extend(word.tolist())
             tokens.append(SPACE)
-            if len(tokens) >= int(rng.integers(12, 36)):
+            if len(tokens) >= int(rng.integers(utt_lo, utt_hi)):
                 break
         tokens = np.asarray(tokens[:MAX_TOK - 1], np.int32)
         tok_durs = np.where(tokens == SPACE, space_dur,
@@ -445,7 +447,35 @@ CORPORA = {'v2': make_corpus, 'v3': make_corpus_v3,
            'v8': lambda rng, n=8192: make_corpus_v6(
                rng, n, vocab=4096, word_lo=2, word_hi=5,
                env_base=-1.0, env_gain=3.5,
-               space_level=-4.0, space_sigma=0.02)}
+               space_level=-4.0, space_sigma=0.02),
+           # v9 = the absolute-gate corpus (round 4).  Two measured floors
+           # made the gate unreachable on v7 (docs/CONVERGENCE.md):
+           # (a) squeeze-2 pair-phase ties cap frame accuracy at ~0.85
+           #     (24k-step plateau 0.8487, 92.6 % of errors ±1 phase) —
+           #     run v9 with --squeeze 1, which removes the tie mechanism;
+           # (b) the reference's ceil(exp(log_dur)) serving semantics
+           #     (/root/reference/Modules.py:173-175) overshoot ~0.5
+           #     frames/token for ANY unbiased duration predictor, so
+           #     free-run length error has a hard floor of 0.5/mean_dur:
+           #     9–12 % at v7's mean duration ~4–5, structurally above the
+           #     5 % gate.  v9 keeps v7's EM-lockable geometry (short
+           #     words, extreme −4.0/σ0.02 silence anchors, high-contrast
+           #     class envelopes) but at speech-realistic durations
+           #     {14,16,18,20} with 12-frame pauses → mean ~16.6
+           #     frames/token, ceil floor ~3.1 %.  Longer tokens also
+           #     sharpen EM boundary decisions (≥14 frames of evidence
+           #     per boundary vs 2–6) and make each remaining ±1 boundary
+           #     error cost 1/16 of a token instead of 1/4.
+           # vocab 512 × ~10.4 content tokens/utterance × 2560 patterns
+           # ≈ 52 occurrences/token — inside the EM-lock coverage window
+           # (v7 measured lock at ~40+).  utt caps keep worst-case frames
+           # 16·20+4·12 = 368 ≤ MAX_MEL 384.
+           'v9': lambda rng, n=2560: make_corpus_v6(
+               rng, n, vocab=512, word_lo=3, word_hi=6,
+               env_base=-1.0, env_gain=3.5,
+               space_level=-4.0, space_sigma=0.02,
+               durations=14 + 2 * ((np.arange(512) * 7) % 4),
+               space_dur=12, utt_lo=8, utt_hi=16, loop_cap=20)}
 
 
 def pad_corpus(patterns, num_squeeze):
