@@ -539,7 +539,7 @@ def ideal_diagonality(true_durations, token_lengths, mel_lengths):
 def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         state_file=None, max_tokens=None, corpus_name='v3',
         warmup_steps=0, freeze_steps=0, learning_rate=None,
-        identity_mixing=False, squeeze=None):
+        identity_mixing=False, squeeze=None, warmup_mode='linear'):
     import jax
     import jax.numpy as jnp
     jax.config.update('jax_compilation_cache_dir',
@@ -564,6 +564,13 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     train_section = {'Batch_Size': batch_size}
     if learning_rate is not None:
         train_section['Learning_Rate'] = {'Initial': learning_rate}
+    if warmup_mode == 'anchored':
+        # the v6-family corpora append their SPACE anchor after every
+        # word, so the corpus's max token id IS the pause token
+        space_id = int(max(p['tokens'].max() for p in corpus))
+        train_section['Alignment_Warmup_Mode'] = 'anchored'
+        train_section['Anchor_Pause_Tokens'] = [space_id]
+        train_section['Anchor_Silence_Level'] = -3.5
     decoder_section = {'Identity_Mixing_Init': identity_mixing}
     if squeeze is not None:
         # The squeeze-1 probe (docs/CONVERGENCE.md "the ±1 phase tie"):
@@ -607,7 +614,10 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         key = (step_idx < warmup_steps, step_idx < freeze_steps)
         if key not in step_fns:
             step_fns[key] = make_train_step(
-                cfg, model, linear_alignment=key[0], freeze_decoder=key[1])
+                cfg, model,
+                linear_alignment=key[0] and warmup_mode == 'linear',
+                anchored_alignment=key[0] and warmup_mode == 'anchored',
+                freeze_decoder=key[1])
         return step_fns[key]
 
     train_fn = step_fn_for(steps)         # the plain variant always exists
@@ -754,6 +764,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
         'corpus': corpus_name,
         'steps': step,
         'alignment_warmup_steps': warmup_steps,
+        'alignment_warmup_mode': warmup_mode,
         'decoder_freeze_steps': freeze_steps,
         'identity_mixing_init': identity_mixing,
         'num_squeeze': cfg.decoder.num_squeeze,
@@ -805,6 +816,11 @@ def main():
                         help='override Decoder.Num_Squeeze (1 removes the '
                              'squeeze-pair phase asymmetry — see '
                              'docs/CONVERGENCE.md)')
+    parser.add_argument('--warmup-mode', default='linear',
+                        choices=('linear', 'anchored'),
+                        help="warmup path: 'linear' uniform, 'anchored' "
+                             'silence-pinned MAS surrogate '
+                             '(Train.Alignment_Warmup_Mode)')
     parser.add_argument('--out', default=None)
     args = parser.parse_args()
     results = run(steps=args.steps, eval_every=args.eval_every,
@@ -812,7 +828,7 @@ def main():
                   state_file=args.state_file, corpus_name=args.corpus,
                   warmup_steps=args.warmup, freeze_steps=args.freeze,
                   learning_rate=args.lr, identity_mixing=args.identity_mix,
-                  squeeze=args.squeeze)
+                  squeeze=args.squeeze, warmup_mode=args.warmup_mode)
     out_path = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         'convergence_results.json')

@@ -244,6 +244,20 @@ class TrainConfig:
     # docs/CONVERGENCE.md (EM from linear-path init reaches alignment
     # accuracy 0.9998 where the cold start stays at 0.054).
     alignment_warmup_steps: int = 0
+    # Warmup path construction: 'linear' = uniform left-to-right;
+    # 'anchored' = MAS over a silence-anchor + guided-diagonal surrogate
+    # score (models/glow_tts.py:anchored_alignment_path).  'anchored'
+    # pins the warmup path at pauses — at speech-realistic token
+    # durations the linear path's cumulative boundary error (~½ token)
+    # otherwise freezes into a self-consistent prior↔MAS fixed point
+    # (measured: docs/CONVERGENCE.md round-4 study).
+    alignment_warmup_mode: str = 'linear'
+    # Token ids treated as pauses by the anchored warmup (e.g. the space
+    # token); empty → only the guided-diagonal term is used.
+    anchor_pause_tokens: Tuple[int, ...] = ()
+    # Frame channel-mean threshold (on the ±max_abs_mel scale) below
+    # which a frame counts as silent for the anchored warmup.
+    anchor_silence_level: float = -3.5
     # Freeze the flow decoder for the first N steps (0 = off).  Used with
     # the alignment warmup: the exact-likelihood flow otherwise whitens
     # the corpus faster than the prior can lock the alignment (the "race"

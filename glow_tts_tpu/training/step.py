@@ -97,9 +97,13 @@ def compute_losses(config: Config, outputs: Dict[str, Any],
 
 def make_train_step(config: Config, model: GlowTTS,
                     linear_alignment: bool = False,
+                    anchored_alignment: bool = False,
                     freeze_decoder: bool = False):
     """``linear_alignment=True`` builds the alignment-warmup variant of the
     step (uniform path instead of MAS — ``train.alignment_warmup_steps``);
+    ``anchored_alignment=True`` the silence-anchored variant
+    (``train.alignment_warmup_mode: 'anchored'`` — MAS over a pause/energy
+    + guided-diagonal surrogate score, models/glow_tts.py);
     ``freeze_decoder=True`` zeroes the flow-decoder updates
     (``train.decoder_freeze_steps``) so the prior locks the alignment
     against a *fixed* flow featurisation before the flow starts whitening
@@ -123,6 +127,7 @@ def make_train_step(config: Config, model: GlowTTS,
                 pitches=batch.get('pitches'),
                 deterministic=False,
                 linear_alignment=linear_alignment,
+                anchored_alignment=anchored_alignment,
                 rngs={'dropout': rng})
             loss_dict = compute_losses(config, outputs, batch)
             return loss_dict['total'], loss_dict

@@ -126,17 +126,20 @@ class Trainer:
         # one jit specialisation per flag combination; selected per-step
         # on the host (``_select_train_step``).
         self._curriculum_steps = {}
-        for linear in (True, False):
+        warm_mode = config.train.alignment_warmup_mode
+        for warm in (True, False):
             for frozen in (True, False):
-                if linear and not config.train.alignment_warmup_steps:
+                if warm and not config.train.alignment_warmup_steps:
                     continue
                 if frozen and not config.train.decoder_freeze_steps:
                     continue
-                if not linear and not frozen:
+                if not warm and not frozen:
                     continue
-                self._curriculum_steps[(linear, frozen)] = self._with_mesh(
+                self._curriculum_steps[(warm, frozen)] = self._with_mesh(
                     jax.jit(make_train_step(
-                        config, self.model, linear_alignment=linear,
+                        config, self.model,
+                        linear_alignment=warm and warm_mode == 'linear',
+                        anchored_alignment=warm and warm_mode == 'anchored',
                         freeze_decoder=frozen), donate_argnums=0))
         self.eval_step = self._with_mesh(
             jax.jit(make_eval_step(config, self.model)))

@@ -170,6 +170,79 @@ def test_alignment_warmup_train_step():
         np.asarray(eval_out['attentions'], np.float32), expected)
 
 
+def test_anchored_alignment_path_pins_silences():
+    """The 'anchored' warmup path (train.alignment_warmup_mode) is a valid
+    monotonic complete path that assigns pause tokens to the silent-frame
+    runs and splits the loud spans near-uniformly between them."""
+    from glow_tts_tpu.models.glow_tts import anchored_alignment_path
+
+    PAUSE = 9
+    # utterance: 3 loud tokens (12 frames), pause (6 silent), 2 loud (10)
+    tokens = np.full((1, 8), 1, np.int32)
+    tokens[0, :6] = [3, 4, 5, PAUSE, 6, 7]
+    token_lengths = np.array([6], np.int32)
+    mel = np.full((1, 32, 8), -1.0, np.float32)     # loud floor
+    mel[0, 12:18] = -4.0                            # the silence run
+    mel_lengths = np.array([28], np.int32)
+    tok_mask = (np.arange(8)[None, :] < token_lengths[:, None])
+    mel_mask = (np.arange(32)[None, :] < mel_lengths[:, None])
+    attn_mask = (tok_mask[:, :, None] * mel_mask[:, None, :]).astype(
+        np.float32)
+
+    path = np.asarray(anchored_alignment_path(
+        jnp.asarray(tokens), jnp.asarray(token_lengths), jnp.asarray(mel),
+        jnp.asarray(mel_lengths), jnp.asarray(attn_mask),
+        (PAUSE,), -3.5, 'scan'))
+
+    assert np.all(path[0, :, :28].sum(axis=0) == 1)       # complete
+    assert path[0].sum() == 28
+    owners = path[0, :, :28].argmax(axis=0)
+    assert np.all(np.diff(owners) >= 0)                   # monotonic
+    # the pause token (index 3) owns exactly the silent run
+    assert set(np.where(owners == 3)[0]) == set(range(12, 18))
+    # loud spans split among the loud tokens only
+    assert set(owners[:12]) == {0, 1, 2}
+    assert set(owners[18:]) == {4, 5}
+
+
+def test_anchored_alignment_train_step():
+    """anchored_alignment=True trains against the surrogate-MAS path: the
+    returned attentions equal anchored_alignment_path and the loss is
+    finite (the config carries the pause ids / silence level)."""
+    from glow_tts_tpu.models.glow_tts import anchored_alignment_path
+
+    cfg = tiny_config(mode='Vanilla', **{
+        'Train': {'Alignment_Warmup_Mode': 'anchored',
+                  'Anchor_Pause_Tokens': [2],
+                  'Anchor_Silence_Level': -3.5}})
+    batch = synthetic_batch(cfg)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    warm_step = jax.jit(make_train_step(cfg, model,
+                                        anchored_alignment=True))
+    state, metrics = warm_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+
+    eval_out = model.apply(
+        {'params': state.params}, tokens=batch['tokens'],
+        token_lengths=batch['token_lengths'], mels=batch['mels'],
+        mel_lengths=batch['mel_lengths'], deterministic=True,
+        anchored_alignment=True)
+    tok_mask = (np.arange(batch['tokens'].shape[1])[None, :]
+                < np.asarray(batch['token_lengths'])[:, None])
+    mel_mask = (np.arange(batch['mels'].shape[1])[None, :]
+                < np.asarray(batch['mel_lengths'])[:, None])
+    attn_mask = (tok_mask[:, :, None] * mel_mask[:, None, :]).astype(
+        np.float32)
+    expected = np.asarray(anchored_alignment_path(
+        jnp.asarray(batch['tokens']),
+        jnp.asarray(batch['token_lengths']), jnp.asarray(batch['mels']),
+        jnp.asarray(batch['mel_lengths']), jnp.asarray(attn_mask),
+        cfg.train.anchor_pause_tokens, cfg.train.anchor_silence_level,
+        'scan'))
+    np.testing.assert_array_equal(
+        np.asarray(eval_out['attentions'], np.float32), expected)
+
+
 def test_decoder_freeze_step():
     """freeze_decoder=True (train.decoder_freeze_steps) must leave every
     flow-decoder parameter bit-unchanged while the encoder still trains —
