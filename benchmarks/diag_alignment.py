@@ -43,6 +43,9 @@ def main():
     parser.add_argument('--batches', type=int, default=4)
     parser.add_argument('--batch-size', type=int, default=32)
     parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--squeeze', type=int, default=None,
+                        help='Decoder.Num_Squeeze of the saved state '
+                             '(must match how it was trained)')
     args = parser.parse_args()
 
     import jax
@@ -62,6 +65,8 @@ def main():
         'Mode': 'Vanilla',
         'Encoder': {'Embedding_Tokens': embedding_tokens},
         'Train': {'Batch_Size': args.batch_size},
+        **({'Decoder': {'Num_Squeeze': args.squeeze}}
+           if args.squeeze else {}),
         'TPU': {'mas_backend': 'pallas' if on_tpu else 'scan'},
     })
     data, true_durations, frame_token = pad_corpus(
