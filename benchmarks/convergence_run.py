@@ -564,13 +564,15 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
     train_section = {'Batch_Size': batch_size}
     if learning_rate is not None:
         train_section['Learning_Rate'] = {'Initial': learning_rate}
-    if warmup_mode == 'anchored':
+    if warmup_mode in ('anchored', 'em'):
         # the v6-family corpora append their SPACE anchor after every
-        # word, so the corpus's max token id IS the pause token
+        # word, so the corpus's max token id IS the pause token ('em'
+        # uses the anchored path as its EM init)
         space_id = int(max(p['tokens'].max() for p in corpus))
-        train_section['Alignment_Warmup_Mode'] = 'anchored'
+        train_section['Alignment_Warmup_Mode'] = warmup_mode
         train_section['Anchor_Pause_Tokens'] = [space_id]
         train_section['Anchor_Silence_Level'] = -3.5
+        train_section['Alignment_Warmup_Steps'] = warmup_steps
     decoder_section = {'Identity_Mixing_Init': identity_mixing}
     if squeeze is not None:
         # The squeeze-1 probe (docs/CONVERGENCE.md "the ±1 phase tie"):
@@ -617,6 +619,7 @@ def run(steps=4000, eval_every=500, batch_size=32, seed=0, verbose=True,
                 cfg, model,
                 linear_alignment=key[0] and warmup_mode == 'linear',
                 anchored_alignment=key[0] and warmup_mode == 'anchored',
+                em_alignment=key[0] and warmup_mode == 'em',
                 freeze_decoder=key[1])
         return step_fns[key]
 
@@ -817,7 +820,7 @@ def main():
                              'squeeze-pair phase asymmetry — see '
                              'docs/CONVERGENCE.md)')
     parser.add_argument('--warmup-mode', default='linear',
-                        choices=('linear', 'anchored'),
+                        choices=('linear', 'anchored', 'em'),
                         help="warmup path: 'linear' uniform, 'anchored' "
                              'silence-pinned MAS surrogate '
                              '(Train.Alignment_Warmup_Mode)')

@@ -251,7 +251,20 @@ class TrainConfig:
     # durations the linear path's cumulative boundary error (~½ token)
     # otherwise freezes into a self-consistent prior↔MAS fixed point
     # (measured: docs/CONVERGENCE.md round-4 study).
+    # 'em' = closed-form per-token-ID Gaussian EM on stop_grad(z) from
+    # the anchored init, with the network prior distilled onto the table
+    # (models/glow_tts.py:em_alignment_path).  The round-4 measurement
+    # behind it (benchmarks/diag_em_on_z.py): the table prior reaches MAS
+    # accuracy 0.9984 where SGD leaves the network prior at 0.5336 on the
+    # same z — the warmup runs that E/M pair inside the train step.
     alignment_warmup_mode: str = 'linear'
+    # EMA decay of the EM sufficient statistics across steps ('em' mode):
+    # effective pooling window 1/(1-decay) batches — 0.875 ≈ 8 batches,
+    # recovering the probe's pooled-corpus fit from per-batch slices.
+    em_stats_decay: float = 0.875
+    # Weight of the masked-MSE distillation of the network prior's
+    # (mean, log_std) onto the EM table ('em' mode; 0 disables).
+    em_distill_weight: float = 1.0
     # Token ids treated as pauses by the anchored warmup (e.g. the space
     # token); empty → only the guided-diagonal term is used.
     anchor_pause_tokens: Tuple[int, ...] = ()

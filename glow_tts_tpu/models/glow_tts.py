@@ -158,6 +158,125 @@ def anchored_alignment_path(tokens: jax.Array,
                                 backend=mas_backend)
 
 
+def fit_token_table(tokens: jax.Array,
+                    path: jax.Array,
+                    z: jax.Array,
+                    mel_mask: jax.Array,
+                    vocab: int):
+    """Batch sufficient statistics of the per-token-ID Gaussian table.
+
+    Hard-EM M-step inputs: each valid frame is owned by the token the
+    ``path`` assigns it to; accumulate per token *ID* (not per position)
+    count / sum / sum-of-squares of ``z``.  Returns ``(cnt [V],
+    s0 [V, C], s1 [V, C])`` in float32.  The scatter is expressed as a
+    one-hot matmul so it lands on the MXU (V ≲ a few thousand)."""
+    owner = jnp.argmax(path, axis=1)                       # [B, T_mel]
+    ids = jnp.take_along_axis(tokens, owner, axis=1)       # [B, T_mel]
+    onehot = (jax.nn.one_hot(ids, vocab, dtype=jnp.float32)
+              * mel_mask.astype(jnp.float32))              # [B, T_mel, V]
+    z32 = z.astype(jnp.float32) * mel_mask.astype(jnp.float32)
+    cnt = jnp.einsum('btv->v', onehot)
+    s0 = jnp.einsum('btv,btc->vc', onehot, z32,
+                    preferred_element_type=jnp.float32)
+    s1 = jnp.einsum('btv,btc->vc', onehot, z32 * z32,
+                    preferred_element_type=jnp.float32)
+    return cnt, s0, s1
+
+
+def table_prior_log_likelihood(tokens: jax.Array,
+                               z: jax.Array,
+                               stats,
+                               attn_mask: jax.Array):
+    """Gaussian log-likelihood score [B, T_tok, T_mel] of ``z`` under the
+    closed-form per-token-ID table implied by ``stats = (cnt, s0, s1)``,
+    plus the table's (mean, log_std) gathered at the batch tokens — the
+    distillation targets for the network prior.  Decomposed as
+    const + quad + cross so the T_tok × T_mel interaction is two matmuls
+    (same shape as :func:`prior_log_likelihood`)."""
+    cnt, s0, s1 = stats
+    cc = jnp.maximum(cnt, 1.0)[:, None]                    # [V, 1]
+    mu = s0 / cc                                           # [V, C]
+    var = jnp.maximum(s1 / cc - mu * mu, 1e-4)             # [V, C]
+    m_tok = mu[tokens]                                     # [B, T_tok, C]
+    v_tok = var[tokens]
+    inv_v = 1.0 / v_tok
+    z32 = z.astype(jnp.float32)
+    const = jnp.sum(-0.5 * jnp.log(2.0 * jnp.pi * v_tok)
+                    - 0.5 * m_tok * m_tok * inv_v, axis=-1)  # [B, T_tok]
+    quad = jnp.einsum('bic,bjc->bij', -0.5 * inv_v, z32 * z32,
+                      preferred_element_type=jnp.float32)
+    cross = jnp.einsum('bic,bjc->bij', m_tok * inv_v, z32,
+                       preferred_element_type=jnp.float32)
+    log_p = (const[:, :, None] + quad + cross) * attn_mask
+    return log_p, m_tok, 0.5 * jnp.log(v_tok)
+
+
+def em_alignment_path(tokens: jax.Array,
+                      token_lengths: jax.Array,
+                      mels: jax.Array,
+                      mel_lengths: jax.Array,
+                      z: jax.Array,
+                      attn_mask: jax.Array,
+                      mel_mask: jax.Array,
+                      em_stats,
+                      vocab: int,
+                      pause_tokens: tuple,
+                      silence_level: float,
+                      stats_decay: float,
+                      mas_backend: str):
+    """Closed-form EM warmup path (``train.alignment_warmup_mode: 'em'``).
+
+    The round-4 measurement this implements (benchmarks/diag_em_on_z.py,
+    v9 corpus, TPU v5e): on the frozen flow's z the *network* prior's MAS
+    accuracy plateaus at 0.5336, while one closed-form per-token-ID
+    Gaussian EM iteration on the SAME z reaches **0.9984** from the
+    0.8867-accurate silence-anchored init — the featurisation separates
+    the corpus; SGD underfit of the network prior is the blocker.  So the
+    warmup runs exactly that E/M pair inside the train step:
+
+    1. init path = :func:`anchored_alignment_path` (observable
+       silence/pause pins, no prior involved);
+    2. M-step: per-token-ID Gaussian table fit on ``stop_grad(z)`` from
+       the init path, pooled with an EMA over past steps' final-path
+       statistics (``em_stats``; decay λ → effective window 1/(1−λ)
+       batches, recovering the probe's pooled-corpus fit from batch-32
+       slices);
+    3. E-step: MAS on the table score → the training path;
+    4. the table's (mean, log_std) at the batch tokens are returned as
+       *distillation targets* so the network prior is regressed directly
+       onto the closed-form optimum (plain masked MSE — much better
+       conditioned than the exp(−2·log_std)-preconditioned MLE gradient),
+       making the lock survive the release to learned-prior MAS.
+
+    Everything is stop-gradded except the returned distillation targets'
+    *inputs to the loss* (the targets themselves are constants).  The
+    reference has no warmup at all (MAS on the learned prior from step 0,
+    ``Modules.py:107-116``); this is the TPU-native in-graph
+    generalisation of the forced-alignment bootstrap.
+
+    Returns ``(path, new_em_stats, distill_mean, distill_log_std)``.
+    """
+    z = jax.lax.stop_gradient(z)
+    init_path = anchored_alignment_path(
+        tokens, token_lengths, mels, mel_lengths, attn_mask,
+        pause_tokens, silence_level, mas_backend)
+    batch_stats = fit_token_table(tokens, init_path, z, mel_mask, vocab)
+    merged = jax.tree_util.tree_map(
+        lambda prev, cur: stats_decay * prev + cur, em_stats, batch_stats)
+    log_p, m_tok, log_std_tok = table_prior_log_likelihood(
+        tokens, z, merged, attn_mask)
+    path = mas_ops.maximum_path(log_p, token_lengths, mel_lengths,
+                                backend=mas_backend)
+    # Store the EMA over the FINAL (post-E-step) path's statistics: next
+    # step's fit then pools ~1/(1−λ) batches of table-quality assignments
+    # plus a single fresh anchored-init batch.
+    final_stats = fit_token_table(tokens, path, z, mel_mask, vocab)
+    new_stats = jax.tree_util.tree_map(
+        lambda prev, cur: stats_decay * prev + cur, em_stats, final_stats)
+    return (jax.lax.stop_gradient(path), new_stats,
+            jax.lax.stop_gradient(m_tok), jax.lax.stop_gradient(log_std_tok))
+
+
 class GlowTTS(nn.Module):
     config: Config
     dtype: Optional[jnp.dtype] = None
@@ -224,7 +343,9 @@ class GlowTTS(nn.Module):
                  pitches: Optional[jax.Array] = None,        # [B, T_mel]
                  deterministic: bool = True,
                  linear_alignment: bool = False,
-                 anchored_alignment: bool = False) -> Dict[str, Any]:
+                 anchored_alignment: bool = False,
+                 em_alignment: bool = False,
+                 em_stats=None) -> Dict[str, Any]:
         cfg = self.config
         speaker_vec, prosody_vec, classified = self._conditions(
             mels, mel_lengths, speakers, mels_for_ge2e, deterministic)
@@ -250,7 +371,25 @@ class GlowTTS(nn.Module):
         if jax.devices()[0].platform != 'tpu' and mas_backend == 'pallas':
             mas_backend = 'scan'
 
-        if linear_alignment:
+        em_out = {}
+        if em_alignment:
+            # Warmup curriculum, 'em' mode: closed-form per-token-ID
+            # Gaussian EM on stop_grad(z) with an anchored init (see
+            # em_alignment_path) + distillation targets for the prior.
+            attentions, new_em_stats, distill_mean, distill_log_std = \
+                em_alignment_path(
+                    tokens, token_lengths, mels, mel_lengths, z,
+                    attn_mask, mel_mask,
+                    em_stats, cfg.encoder.embedding_tokens,
+                    cfg.train.anchor_pause_tokens,
+                    cfg.train.anchor_silence_level,
+                    cfg.train.em_stats_decay, mas_backend)
+            em_out = {'em_stats': new_em_stats,
+                      'prior_mean': mean, 'prior_log_std': log_std,
+                      'distill_mean': distill_mean,
+                      'distill_log_std': distill_log_std,
+                      'token_mask': token_mask}
+        elif linear_alignment:
             # Warmup curriculum (train.alignment_warmup_steps): skip MAS
             # entirely and supervise against the uniform path.  Static
             # flag → its own jit specialisation, no dead MAS in the graph.
@@ -292,6 +431,7 @@ class GlowTTS(nn.Module):
             'attentions': attentions,
             'classified_speakers': classified,
             'mel_mask': mel_mask,
+            **em_out,
         }
 
     def encode_prosody(self, mels, mel_lengths):

@@ -33,9 +33,28 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     dropout_rng: jax.Array
+    # EMA sufficient statistics (cnt, s0, s1) of the per-token-ID Gaussian
+    # table for the 'em' alignment warmup (train.alignment_warmup_mode);
+    # None outside that mode.
+    em_stats: Any = None
 
     def next_rng(self) -> Tuple[jax.Array, jax.Array]:
         return jax.random.split(self.dropout_rng)
+
+    def __setstate__(self, state_dict):
+        # Unpickle compat: states saved before the em_stats field existed
+        # lack the attribute in their pickled __dict__.
+        state_dict.setdefault('em_stats', None)
+        self.__dict__.update(state_dict)
+
+
+def init_em_stats(config: Config) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Zero-initialised EM table statistics for the 'em' warmup."""
+    vocab = config.encoder.embedding_tokens
+    channels = config.sound.mel_dim   # z is unsqueezed back to mel_dim
+    return (jnp.zeros((vocab,), jnp.float32),
+            jnp.zeros((vocab, channels), jnp.float32),
+            jnp.zeros((vocab, channels), jnp.float32))
 
 
 def build_model(config: Config) -> GlowTTS:
@@ -68,11 +87,16 @@ def create_train_state(config: Config, rng: jax.Array,
         batch.get('mels_for_ge2e'), batch.get('pitches'))
     params = variables['params']
     tx = make_optimizer(config)
+    em_stats = None
+    if (config.train.alignment_warmup_steps > 0
+            and config.train.alignment_warmup_mode == 'em'):
+        em_stats = init_em_stats(config)
     state = TrainState(
         step=jnp.zeros([], jnp.int32),
         params=params,
         opt_state=tx.init(params),
-        dropout_rng=dropout_rng)
+        dropout_rng=dropout_rng,
+        em_stats=em_stats)
     return model, state
 
 
@@ -91,6 +115,14 @@ def compute_losses(config: Config, outputs: Dict[str, Any],
         loss_dict['speaker'] = losses.speaker_ce_loss(
             outputs['classified_speakers'], batch['speakers'])
         total = total + loss_dict['speaker']
+    if outputs.get('distill_mean') is not None:
+        # 'em' alignment warmup: regress the network prior onto the
+        # closed-form EM table (train.em_distill_weight).
+        loss_dict['distill'] = losses.prior_distill_loss(
+            outputs['prior_mean'], outputs['prior_log_std'],
+            outputs['distill_mean'], outputs['distill_log_std'],
+            outputs['token_mask'])
+        total = total + config.train.em_distill_weight * loss_dict['distill']
     loss_dict['total'] = total
     return loss_dict
 
@@ -98,17 +130,22 @@ def compute_losses(config: Config, outputs: Dict[str, Any],
 def make_train_step(config: Config, model: GlowTTS,
                     linear_alignment: bool = False,
                     anchored_alignment: bool = False,
+                    em_alignment: bool = False,
                     freeze_decoder: bool = False):
     """``linear_alignment=True`` builds the alignment-warmup variant of the
     step (uniform path instead of MAS — ``train.alignment_warmup_steps``);
     ``anchored_alignment=True`` the silence-anchored variant
     (``train.alignment_warmup_mode: 'anchored'`` — MAS over a pause/energy
     + guided-diagonal surrogate score, models/glow_tts.py);
-    ``freeze_decoder=True`` zeroes the flow-decoder updates
-    (``train.decoder_freeze_steps``) so the prior locks the alignment
-    against a *fixed* flow featurisation before the flow starts whitening
-    the corpus — the measured cure for the cold-start alignment race
-    (docs/CONVERGENCE.md).  Each flag combination is a separate jit
+    ``em_alignment=True`` the closed-form EM variant
+    (``train.alignment_warmup_mode: 'em'`` — per-token-ID Gaussian table
+    on stop_grad(z) with EMA statistics carried in ``state.em_stats`` and
+    the network prior distilled onto the table, models/glow_tts.py:
+    em_alignment_path); ``freeze_decoder=True`` zeroes the flow-decoder
+    updates (``train.decoder_freeze_steps``) so the prior locks the
+    alignment against a *fixed* flow featurisation before the flow starts
+    whitening the corpus — the measured cure for the cold-start alignment
+    race (docs/CONVERGENCE.md).  Each flag combination is a separate jit
     specialisation, selected per-step on the host."""
     tx = make_optimizer(config)
 
@@ -128,11 +165,14 @@ def make_train_step(config: Config, model: GlowTTS,
                 deterministic=False,
                 linear_alignment=linear_alignment,
                 anchored_alignment=anchored_alignment,
+                em_alignment=em_alignment,
+                em_stats=state.em_stats if em_alignment else None,
                 rngs={'dropout': rng})
             loss_dict = compute_losses(config, outputs, batch)
-            return loss_dict['total'], loss_dict
+            return loss_dict['total'], (loss_dict,
+                                        outputs.get('em_stats'))
 
-        (_, loss_dict), grads = jax.value_and_grad(
+        (_, (loss_dict, new_em_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         if freeze_decoder:
@@ -149,7 +189,8 @@ def make_train_step(config: Config, model: GlowTTS,
         metrics['grad_norm'] = optax.global_norm(grads)
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
-            dropout_rng=next_rng)
+            dropout_rng=next_rng,
+            em_stats=new_em_stats if em_alignment else state.em_stats)
         return new_state, metrics
 
     return train_step

@@ -140,6 +140,7 @@ class Trainer:
                         config, self.model,
                         linear_alignment=warm and warm_mode == 'linear',
                         anchored_alignment=warm and warm_mode == 'anchored',
+                        em_alignment=warm and warm_mode == 'em',
                         freeze_decoder=frozen), donate_argnums=0))
         self.eval_step = self._with_mesh(
             jax.jit(make_eval_step(config, self.model)))

@@ -243,6 +243,103 @@ def test_anchored_alignment_train_step():
         np.asarray(eval_out['attentions'], np.float32), expected)
 
 
+def test_em_table_recovers_true_path():
+    """The closed-form EM core (train.alignment_warmup_mode: 'em'): when z
+    is drawn from well-separated per-token-ID Gaussians, fitting the table
+    from the TRUE path and running MAS on the table score must recover the
+    true path exactly — the mechanism behind the measured 0.9984 lock
+    (benchmarks/diag_em_on_z.py)."""
+    from glow_tts_tpu.models.glow_tts import (
+        fit_token_table, table_prior_log_likelihood)
+    from glow_tts_tpu.ops import mas as mas_ops
+
+    rng = np.random.default_rng(0)
+    B, T_tok, T_mel, C, V = 2, 6, 24, 4, 12
+    # without replacement: a repeated ID inside one utterance makes the
+    # boundary between its two spans likelihood-tied (any split scores
+    # identically), so exact recovery is only defined for distinct IDs
+    tokens = np.stack([rng.permutation(np.arange(1, V))[:T_tok]
+                       for _ in range(B)]).astype(np.int32)
+    token_lengths = np.array([6, 5], np.int32)
+    mel_lengths = np.array([24, 20], np.int32)
+    means = rng.normal(scale=4.0, size=(V, C)).astype(np.float32)
+    # ground-truth monotonic path: near-uniform split of frames per token
+    path = np.zeros((B, T_tok, T_mel), np.float32)
+    z = np.zeros((B, T_mel, C), np.float32)
+    for b in range(B):
+        bounds = np.linspace(0, mel_lengths[b], token_lengths[b] + 1)
+        bounds = bounds.astype(int)
+        for i in range(token_lengths[b]):
+            path[b, i, bounds[i]:bounds[i + 1]] = 1.0
+            z[b, bounds[i]:bounds[i + 1]] = (
+                means[tokens[b, i]]
+                + 0.05 * rng.normal(size=(bounds[i + 1] - bounds[i], C)))
+    tok_mask = (np.arange(T_tok)[None] < token_lengths[:, None])
+    mel_mask = (np.arange(T_mel)[None] < mel_lengths[:, None])
+    attn_mask = (tok_mask[:, :, None] * mel_mask[:, None, :]).astype(
+        np.float32)
+
+    stats = fit_token_table(
+        jnp.asarray(tokens), jnp.asarray(path), jnp.asarray(z),
+        jnp.asarray(mel_mask[..., None].astype(np.float32)), V)
+    log_p, m_tok, log_std_tok = table_prior_log_likelihood(
+        jnp.asarray(tokens), jnp.asarray(z), stats, jnp.asarray(attn_mask))
+    recovered = np.asarray(mas_ops.maximum_path(
+        log_p, jnp.asarray(token_lengths), jnp.asarray(mel_lengths),
+        backend='scan'))
+    np.testing.assert_array_equal(recovered, path)
+    # distillation targets gather the table at the batch tokens
+    cnt, s0, _ = jax.tree_util.tree_map(np.asarray, stats)
+    table_mean = s0 / np.maximum(cnt, 1.0)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(m_tok), table_mean[tokens], rtol=1e-6)
+    assert np.isfinite(np.asarray(log_std_tok)).all()
+
+
+def test_em_alignment_train_step():
+    """em_alignment=True: the step runs, carries the EMA statistics in
+    state.em_stats, emits a finite distillation loss, and the returned
+    attentions are a complete monotonic path."""
+    cfg = tiny_config(mode='Vanilla', **{
+        'Train': {'Alignment_Warmup_Mode': 'em',
+                  'Alignment_Warmup_Steps': 10,
+                  'Anchor_Pause_Tokens': [2],
+                  'Anchor_Silence_Level': -3.5}})
+    batch = synthetic_batch(cfg)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    assert state.em_stats is not None
+    assert state.em_stats[0].shape == (cfg.encoder.embedding_tokens,)
+    assert float(state.em_stats[0].sum()) == 0.0
+
+    em_step = jax.jit(make_train_step(cfg, model, em_alignment=True))
+    for _ in range(2):
+        state, metrics = em_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+    assert np.isfinite(np.asarray(metrics['distill']))
+    # the EMA pooled ~masked-frame-count worth of ownership per E/M pass
+    assert float(state.em_stats[0].sum()) > 0.0
+
+    # the post-warmup step (no em flag) must still run on the same state
+    plain_step = jax.jit(make_train_step(cfg, model))
+    state, metrics = plain_step(state, batch)
+    assert np.isfinite(np.asarray(metrics['total']))
+
+    out = model.apply(
+        {'params': state.params}, tokens=batch['tokens'],
+        token_lengths=batch['token_lengths'], mels=batch['mels'],
+        mel_lengths=batch['mel_lengths'], deterministic=True,
+        em_alignment=True,
+        em_stats=jax.tree_util.tree_map(jnp.asarray, state.em_stats))
+    path = np.asarray(out['attentions'], np.float32)
+    for b in range(path.shape[0]):
+        tl = int(batch['token_lengths'][b])
+        ml = int(batch['mel_lengths'][b])
+        assert path[b, :, :ml].sum() == ml                 # complete
+        owners = path[b, :, :ml].argmax(axis=0)
+        assert np.all(np.diff(owners) >= 0)                # monotonic
+        assert owners.max() < tl
+
+
 def test_decoder_freeze_step():
     """freeze_decoder=True (train.decoder_freeze_steps) must leave every
     flow-decoder parameter bit-unchanged while the encoder still trains —
