@@ -280,6 +280,18 @@ class TrainConfig:
     # linear-path init; release the decoder after the lock.
     decoder_freeze_steps: int = 0
 
+    def __post_init__(self):
+        # A typo'd mode (e.g. 'anchor', 'EM') would otherwise make the
+        # trainer build warm-step variants with linear/anchored/em all
+        # False — silently training the warmup steps with plain
+        # learned-prior MAS, the exact cold-start failure the curriculum
+        # exists to prevent (ADVICE r4).
+        valid = ('linear', 'anchored', 'em')
+        if self.alignment_warmup_mode not in valid:
+            raise ValueError(
+                f'Train.Alignment_Warmup_Mode must be one of {valid}, '
+                f'got {self.alignment_warmup_mode!r}')
+
 
 @dataclass(frozen=True)
 class TPUConfig:

@@ -137,7 +137,12 @@ def anchored_alignment_path(tokens: jax.Array,
     exact under the score, monotonic and complete by construction.
     """
     t_mel = attn_mask.shape[-1]
-    frame_energy = jnp.mean(mels.astype(jnp.float32), axis=-1)  # [B, T_mel]
+    # mels arrive on the raw timeline (length T_mel) while attn_mask uses
+    # the decoder-truncated one ((T_mel//num_squeeze)·num_squeeze); slice
+    # so the anchor+diag add is shape-safe for any bucket/squeeze combo
+    # (ADVICE r4).
+    frame_energy = jnp.mean(mels[:, :t_mel].astype(jnp.float32),
+                            axis=-1)                            # [B, T_mel]
     is_sil = (frame_energy < silence_level)                     # [B, T_mel]
     is_pause = jnp.zeros(tokens.shape, bool)
     for pid in pause_tokens:

@@ -834,7 +834,7 @@ def fused_flow_stack_train(
     seed: jax.Array,
     dropout_rate: float = 0.0,
     batch_tile: Optional[int] = None,
-    bwd_batch_tile: int = 2,
+    bwd_batch_tile: Optional[int] = None,
     row_chunks: Optional[int] = None,
     interpret: bool = False,
     _skip_shard: bool = False,
@@ -874,9 +874,11 @@ def fused_flow_stack_train(
     # (benchmarks/calibrate_vmem.py, v5e 2026-08-19): the bwd kernel's
     # n-slot recompute scratch + weight-grad buffers leave room for
     # bt=2 only up to r≈256 packed rows per sample (t=96 fits at 2;
-    # t=384 OOMs at 19.31M and needs 1).
-    if t + (k_ - 1) > 256:
-        bwd_batch_tile = 1
+    # t=384 OOMs at 19.31M and needs 1).  The heuristic only applies
+    # when the caller left the knob unset, so recalibration probes can
+    # still force larger tiles at production length (ADVICE r4).
+    if bwd_batch_tile is None:
+        bwd_batch_tile = 1 if t + (k_ - 1) > 256 else 2
     bwd_batch_tile = min(bwd_batch_tile, batch_tile)
     if not _skip_shard:
         from glow_tts_tpu.parallel import mesh as mesh_lib

@@ -81,20 +81,23 @@ def test_full_convergence_absolute_gate():
     free-running synthesis lands within 5 % of true length."""
     from benchmarks.convergence_run import run
 
-    # Defaults = the committed lock recipe (docs/CONVERGENCE.md): v7
-    # corpus, linear-path warmup, frozen-decoder EM at lr 3e-4, squeeze 1
-    # (the squeeze-pair phase tie caps frozen-EM accuracy at ~0.85 on the
-    # flagship squeeze-2 config — measured, see the round-4 study).
-    steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '8000'))
-    corpus = os.environ.get('GLOWTTS_CONVERGENCE_CORPUS', 'v7')
-    warmup = int(os.environ.get('GLOWTTS_CONVERGENCE_WARMUP', '500'))
-    freeze = int(os.environ.get('GLOWTTS_CONVERGENCE_FREEZE', str(steps)))
+    # Defaults = the recipe with a committed PASS
+    # (benchmarks/convergence_v9_em.json, TPU v5e 2026-08-19: accuracy
+    # 0.9983, free-run length error 1.97 %): v9 absolute-gate corpus,
+    # 6000-step EM-table warmup with frozen decoder + prior distillation,
+    # release to learned-prior MAS, lr 3e-4, squeeze 1 (the squeeze-pair
+    # phase tie caps accuracy at ~0.85 on squeeze-2 — measured, round 4).
+    steps = int(os.environ.get('GLOWTTS_CONVERGENCE_STEPS', '10000'))
+    corpus = os.environ.get('GLOWTTS_CONVERGENCE_CORPUS', 'v9')
+    warmup = int(os.environ.get('GLOWTTS_CONVERGENCE_WARMUP', '6000'))
+    freeze = int(os.environ.get('GLOWTTS_CONVERGENCE_FREEZE', '6000'))
+    mode = os.environ.get('GLOWTTS_CONVERGENCE_WARMUP_MODE', 'em')
     lr = float(os.environ.get('GLOWTTS_CONVERGENCE_LR', '3e-4'))
     squeeze = int(os.environ.get('GLOWTTS_CONVERGENCE_SQUEEZE', '1'))
-    results = run(steps=steps, eval_every=1000, batch_size=32,
+    results = run(steps=steps, eval_every=500, batch_size=32,
                   corpus_name=corpus, verbose=True,
                   warmup_steps=warmup, freeze_steps=freeze,
-                  learning_rate=lr, squeeze=squeeze,
+                  warmup_mode=mode, learning_rate=lr, squeeze=squeeze,
                   state_file=os.environ.get('GLOWTTS_CONVERGENCE_STATE'))
     final = results['history'][-1]
     assert final['alignment_accuracy'] > 0.90, results

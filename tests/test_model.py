@@ -407,3 +407,142 @@ def test_weight_norm_fold_parity(mode):
                                   np.asarray(folded['mels']))
     np.testing.assert_array_equal(np.asarray(base['mel_lengths']),
                                   np.asarray(folded['mel_lengths']))
+
+
+def _em_lock_corpus(rng, batch=8, n_words=4):
+    """Tiny EM-lockable corpus on the tiny config's 8-dim mels: words of
+    two 4-frame content tokens followed by a 4-frame silence pause, with
+    strong per-token-ID mean signatures — the v9 geometry in miniature
+    (benchmarks/convergence_run.py make_corpus_v6)."""
+    pause, vocab_lo, vocab_hi, dur = 2, 3, 11, 4
+    signatures = rng.normal(0.0, 2.0, (vocab_hi, 8)).astype(np.float32)
+    t_tok = 3 * n_words
+    t_mel = t_tok * dur
+    tokens = np.zeros((batch, t_tok), np.int32)
+    mels = np.zeros((batch, t_mel, 8), np.float32)
+    owners = np.repeat(np.arange(t_tok), dur)
+    for b in range(batch):
+        seq = []
+        for _ in range(n_words):
+            seq.extend(rng.integers(vocab_lo, vocab_hi, 2).tolist())
+            seq.append(pause)
+        tokens[b] = seq
+        mel = np.where((tokens[b] == pause)[owners][:, None],
+                       -4.0, signatures[tokens[b]][owners])
+        mels[b] = np.clip(
+            mel + rng.normal(0.0, 0.1, mel.shape), -4.0, 4.0)
+    return {'tokens': tokens,
+            'token_lengths': np.full((batch,), t_tok, np.int32),
+            'mels': mels,
+            'mel_lengths': np.full((batch,), t_mel, np.int32)}, owners
+
+
+def _learned_prior_accuracy(model, state, batch, owners):
+    """Fraction of frames the LEARNED-prior MAS assigns to the true token
+    — the metric the convergence gate asserts (plain forward, no warmup
+    flags: the post-release configuration)."""
+    out = model.apply(
+        {'params': state.params}, tokens=batch['tokens'],
+        token_lengths=batch['token_lengths'], mels=batch['mels'],
+        mel_lengths=batch['mel_lengths'], deterministic=True)
+    attn = np.asarray(out['attentions'], np.float32)
+    return float((attn.argmax(axis=1) == owners[None, :]).mean())
+
+
+def test_em_release_transition_keeps_lock():
+    """The gate run's highest-risk moment (VERDICT r4 #6): the em→learned
+    prior release.  The distillation (training/losses.py:
+    prior_distill_loss) must have transferred the table lock into the
+    network prior so learned-prior MAS holds the alignment through and
+    after the switch, instead of collapsing back toward the cold-start
+    path."""
+    cfg = tiny_config(**{
+        'Train': {'Batch_Size': 8,
+                  'Learning_Rate': {'Initial': 3.0e-3, 'Base': 4000},
+                  'ADAM': {'Beta1': 0.9, 'Beta2': 0.999,
+                           'Epsilon': 1.0e-6},
+                  'Weight_Decay': 1.0e-6, 'Gradient_Norm': 5.0,
+                  'Alignment_Warmup_Mode': 'em',
+                  'Alignment_Warmup_Steps': 150,
+                  'Anchor_Pause_Tokens': [2],
+                  'Anchor_Silence_Level': -3.5}})
+    rng = np.random.default_rng(7)
+    batch, owners = _em_lock_corpus(rng)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+
+    em_step = jax.jit(make_train_step(cfg, model, em_alignment=True,
+                                      freeze_decoder=True))
+    for _ in range(150):
+        state, metrics = em_step(state, batch)
+    acc_warm = _learned_prior_accuracy(model, state, batch, owners)
+    # the distillation transferred the table lock into the network prior
+    assert acc_warm > 0.85, acc_warm
+
+    plain_step = jax.jit(make_train_step(cfg, model))
+    for _ in range(30):
+        state, metrics = plain_step(state, batch)
+        assert np.isfinite(np.asarray(metrics['total']))
+    acc_released = _learned_prior_accuracy(model, state, batch, owners)
+    assert acc_released > acc_warm - 0.05, (acc_warm, acc_released)
+
+
+def test_em_stats_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of TrainState.em_stats mid-warmup (VERDICT r4
+    #6), plus both structure-mismatch fallbacks (ADVICE r4): resuming a
+    pre-em checkpoint under an 'em' config, and resuming an em
+    checkpoint under a config without the warmup."""
+    from glow_tts_tpu.training.checkpoint import CheckpointManager
+
+    em_overrides = {
+        'Train': {'Batch_Size': 4,
+                  'Learning_Rate': {'Initial': 1.0e-3, 'Base': 100},
+                  'ADAM': {'Beta1': 0.9, 'Beta2': 0.999,
+                           'Epsilon': 1.0e-6},
+                  'Weight_Decay': 1.0e-6, 'Gradient_Norm': 5.0,
+                  'Alignment_Warmup_Mode': 'em',
+                  'Alignment_Warmup_Steps': 10,
+                  'Anchor_Pause_Tokens': [2],
+                  'Anchor_Silence_Level': -3.5}}
+    cfg = tiny_config(**em_overrides)
+    batch = synthetic_batch(cfg)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    em_step = jax.jit(make_train_step(cfg, model, em_alignment=True))
+    for _ in range(2):
+        state, _ = em_step(state, batch)
+    assert float(state.em_stats[0].sum()) > 0.0
+
+    mgr = CheckpointManager(str(tmp_path / 'ckpt_em'), config=cfg)
+    mgr.save(2, state, wait=True)
+
+    # exact round-trip against a fresh mid-warmup template
+    _, template = create_train_state(cfg, jax.random.PRNGKey(1), batch)
+    restored, step = mgr.restore(template)
+    assert step == 2
+    for got, want in zip(jax.tree_util.tree_leaves(restored.em_stats),
+                         jax.tree_util.tree_leaves(state.em_stats)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # ...and the warmup continues from the restored statistics
+    resumed, _ = em_step(restored, batch)
+    assert np.isfinite(float(resumed.em_stats[0].sum()))
+
+    # mismatch 1: em checkpoint, config WITHOUT the warmup → stats dropped
+    plain_cfg = tiny_config()
+    _, plain_template = create_train_state(
+        plain_cfg, jax.random.PRNGKey(1), batch)
+    assert plain_template.em_stats is None
+    mgr_plain = CheckpointManager(str(tmp_path / 'ckpt_em'),
+                                  config=plain_cfg)
+    with pytest.warns(UserWarning, match='dropping'):
+        restored_plain, _ = mgr_plain.restore(plain_template)
+    assert restored_plain.em_stats is None
+    np.testing.assert_array_equal(
+        np.asarray(restored_plain.step), np.asarray(state.step))
+
+    # mismatch 2: pre-em checkpoint, 'em' config → fresh zero statistics
+    mgr2 = CheckpointManager(str(tmp_path / 'ckpt_plain'), config=plain_cfg)
+    mgr2.save(1, restored_plain, wait=True)
+    mgr2_em = CheckpointManager(str(tmp_path / 'ckpt_plain'), config=cfg)
+    with pytest.warns(UserWarning, match='freshly-initialised'):
+        restored_em, _ = mgr2_em.restore(template)
+    assert restored_em.em_stats is not None
+    assert float(restored_em.em_stats[0].sum()) == 0.0
