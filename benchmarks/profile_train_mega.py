@@ -19,6 +19,13 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BATCH, TOKEN_LEN, T_MEL, CHAIN = 32, 128, 768, 100
+# Production-length probe (VERDICT r4 Weak #1): the 674ba8f weight-streaming
+# fix was committed against the 1000-frame scoped-VMEM OOM but the last
+# committed hardware log predates it — GLOWTTS_TRAIN_MEGA_FRAMES=1000
+# reruns the same protocol at the serving bucket and writes a
+# frames-suffixed artifact instead of clobbering the 768-frame one.
+T_MEL = int(os.environ.get('GLOWTTS_TRAIN_MEGA_FRAMES', str(T_MEL)))
+CHAIN = int(os.environ.get('GLOWTTS_TRAIN_MEGA_CHAIN', str(CHAIN)))
 
 
 def measure(backend):
@@ -89,8 +96,10 @@ def main():
         'device': str(jax.devices()[0]),
         'rows': [measure(b) for b in ('auto', 'mega')],
     }
+    name = ('train_mega_results.json' if T_MEL == 768
+            else f'train_mega_results_{T_MEL}.json')
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            'train_mega_results.json')
+                            name)
     with open(out_path, 'w') as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
