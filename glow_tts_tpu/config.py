@@ -359,6 +359,15 @@ class TPUConfig:
     # trades ~⅓ more FLOPs for O(stack) less activation memory — enables
     # much larger batch × sequence products per chip.
     remat_flows: bool = False
+    # Checkpoint policy for remat_flows (name from jax.checkpoint_policies,
+    # e.g. 'dots_saveable' / 'dots_with_no_batch_dims_saveable'); None =
+    # save nothing per step (pure recompute).  The policy trades recompute
+    # FLOPs against HBM round-trips of stored activations.  Measured on v5e
+    # at batch 32 × 768 frames (benchmarks/exp_variants_r5.jsonl): every
+    # remat flavour LOSES wall time there (27.2–30.5 vs 22.2 ms/step), so
+    # remat stays what it was built for — fitting larger batch × length
+    # products — with the policy knob to soften its cost when used.
+    remat_policy: Optional[str] = None
     # Serving-path weight-norm folding: the coupling WaveNet's weight-normed
     # convs recompute g·v/‖v‖ on every dispatch (``Modules.py:766,818,825``
     # torch weight_norm).  With this flag the model expects PRE-FOLDED
@@ -368,6 +377,17 @@ class TPUConfig:
     # g/‖v‖ decomposition is what gives weight norm its conditioning.
     # ``Inferencer`` enables it automatically at load.
     fold_weight_norm: bool = False
+
+    def __post_init__(self):
+        # A typo'd policy name would otherwise surface as an AttributeError
+        # deep inside FlowDecoder.__call__ at trace time (ADVICE r4's
+        # validate-enums-at-load rule).
+        if self.remat_policy is not None:
+            import jax
+            if not hasattr(jax.checkpoint_policies, self.remat_policy):
+                raise ValueError(
+                    f'TPU.remat_policy {self.remat_policy!r} is not a '
+                    f'jax.checkpoint_policies member')
 
 
 @dataclass(frozen=True)

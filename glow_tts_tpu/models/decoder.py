@@ -522,8 +522,18 @@ class FlowDecoder(nn.Module):
         if self.config.tpu.remat_flows and not reverse:
             # recompute each flow step in the backward pass instead of
             # keeping its activations (reverse/deterministic flags stay
-            # static so python control flow inside the step is unaffected)
-            step_cls = nn.remat(FlowStep, static_argnums=(6, 7))
+            # static so python control flow inside the step is unaffected);
+            # tpu.remat_policy selects what remains saved (e.g.
+            # 'dots_saveable' keeps the MXU outputs and recomputes only the
+            # elementwise chains).  At the bench shape every remat flavour
+            # measured SLOWER than no-remat (exp_variants_r5.jsonl), so
+            # this is a memory-capacity knob, not a speed one.
+            policy = None
+            if self.config.tpu.remat_policy:
+                policy = getattr(jax.checkpoint_policies,
+                                 self.config.tpu.remat_policy)
+            step_cls = nn.remat(FlowStep, static_argnums=(6, 7),
+                                policy=policy)
         steps = [
             step_cls(self.config, self.dtype, name=f'flow_{i}')
             for i in range(self.config.decoder.stack)

@@ -137,6 +137,21 @@ class WNConv1d(nn.Module):
         return out
 
 
+# Dropout mask-word width and formulation (benchmarks/exp_train_variants.py,
+# round-5 hardware sweep on v5e, batch 32 × 768 frames, chained protocol):
+# 16-bit words won the train step (22.24 vs 23.90 ms/step at 32-bit —
+# the 48 coupling-WaveNet masks are ~0.9 GB/step of RNG traffic at 32-bit,
+# halved at 16); 8-bit regressed to 23.84 (sub-word layout cost eats the
+# bandwidth win) and the multiply-by-mask formulation lost outright
+# (26.4 ms).  The mask words are pure random bits — narrower words change
+# only the threshold granularity (keep_prob quantised to 2^-bits instead
+# of 2^-32; at rate 0.05 the effective rate moves by < 8e-6 at 16 bits),
+# not the contract.  Module-level so the experiment harness can restore
+# the 32-bit baseline for A/B runs.
+_DROPOUT_BITS = 16
+_DROPOUT_MUL = False
+
+
 class FastDropout(nn.Module):
     """Dropout with the hardware RNG (``lax.rng_bit_generator``).
 
@@ -161,12 +176,16 @@ class FastDropout(nn.Module):
         if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
             key = jax.random.key_data(key)
         rbg_key = jnp.tile(key.reshape(-1).astype(jnp.uint32), 2)[:4]
+        nbits = _DROPOUT_BITS
+        bits_dtype = {32: jnp.uint32, 16: jnp.uint16, 8: jnp.uint8}[nbits]
         _, bits = jax.lax.rng_bit_generator(rbg_key, x.shape,
-                                            dtype=jnp.uint32)
+                                            dtype=bits_dtype)
         keep_prob = 1.0 - self.rate
-        threshold = jnp.uint32(int(round(keep_prob * float(2 ** 32) - 1)))
+        threshold = bits_dtype(int(round(keep_prob * float(2 ** nbits) - 1)))
         keep = bits <= threshold
         scale = jnp.asarray(1.0 / keep_prob, x.dtype)
+        if _DROPOUT_MUL:
+            return x * (keep.astype(x.dtype) * scale)
         return jnp.where(keep, x * scale, jnp.zeros_like(x))
 
 

@@ -17,18 +17,19 @@ from tests.helpers import synthetic_batch, tiny_config
 # The deterministic eval pin survives any dropout-stream change; it has
 # matched since round 1.
 GOLDEN_EVAL0 = {'duration': 0.569171, 'mle': 2.680661, 'total': 3.249831}
-# Train-step pins re-recorded in round 3 when dropout switched from
-# threefry to the hardware RNG (layers.FastDropout) — identical
-# functional semantics, different random bit stream, so the exact loss
-# trajectory legitimately moved (eval0 above did NOT, proving the
-# deterministic path is untouched).
+# Train-step pins re-recorded whenever the dropout bit stream legitimately
+# changes — round 3: threefry → hardware RNG (layers.FastDropout);
+# round 5: 32-bit → 16-bit mask words (the measured train-step win,
+# layers._DROPOUT_BITS).  Identical functional semantics, different random
+# bits, so the exact loss trajectory moves (eval0 above did NOT, proving
+# the deterministic path is untouched).
 GOLDEN_STEPS = [
-    {'duration': 0.748171, 'mle': 2.794080, 'total': 3.542251,
-     'grad_norm': 12.058844},
-    {'duration': 0.733768, 'mle': 2.297096, 'total': 3.030864,
-     'grad_norm': 8.349258},
-    {'duration': 0.831508, 'mle': 3.122199, 'total': 3.953707,
-     'grad_norm': 19.098808},
+    {'duration': 0.787326, 'mle': 2.622597, 'total': 3.409923,
+     'grad_norm': 12.127121},
+    {'duration': 0.717892, 'mle': 2.551459, 'total': 3.269351,
+     'grad_norm': 9.205126},
+    {'duration': 0.690742, 'mle': 2.575523, 'total': 3.266266,
+     'grad_norm': 10.537647},
 ]
 
 

@@ -4,16 +4,19 @@ activations on the backward pass."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glow_tts_tpu.training.step import create_train_state, make_train_step
 from tests.helpers import synthetic_batch, tiny_config
 
 
-def test_remat_matches_plain_gradients():
+@pytest.mark.parametrize('policy', [None, 'dots_saveable'])
+def test_remat_matches_plain_gradients(policy):
     base_cfg = tiny_config()
     remat_cfg = tiny_config(**{'TPU': {'compute_dtype': 'float32',
                                        'mas_backend': 'scan',
-                                       'remat_flows': True}})
+                                       'remat_flows': True,
+                                       'remat_policy': policy}})
     batch = synthetic_batch(base_cfg, rng=np.random.default_rng(7))
 
     model_a, state_a = create_train_state(base_cfg, jax.random.PRNGKey(0),
@@ -37,3 +40,9 @@ def test_remat_matches_plain_gradients():
                       jax.tree_util.tree_leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_remat_policy_typo_raises_at_load():
+    with pytest.raises(ValueError, match='remat_policy'):
+        tiny_config(**{'TPU': {'remat_flows': True,
+                               'remat_policy': 'dots_savable'}})
