@@ -91,6 +91,14 @@ def main():
         layers._DROPOUT_MUL = True
         tpu_over['remat_flows'] = True
         tpu_over['remat_policy'] = 'dots_saveable'
+    elif variant == 'dropvjp':
+        # 16-bit words + custom_vjp mask regeneration in the backward
+        # (no stored bits / keep-mask between fwd and bwd)
+        layers._DROPOUT_STATELESS_BWD = True
+    elif variant == 'dropremat':
+        # same regeneration via jax.checkpoint on the mask derivation —
+        # sidesteps the custom_vjp const_args bug (see layers.py)
+        layers._DROPOUT_REMAT_MASK = True
     elif variant == 'default':
         pass                      # whatever layers.py currently ships
     elif variant == 'baseline':
@@ -121,15 +129,28 @@ def main():
             0, chain, lambda i, carry: train_fn(carry[0], jb),
             (st, zero_metrics))
 
-    compiled = chained_train.lower(state).compile(
-        compiler_options=compiler_options or None)
-    flops = _compiled_flops(compiled)
-    out = compiled(state)
+    if variant == 'dropvjp':
+        # The AOT handle cannot carry custom_vjp closures in this jax
+        # build: the hoisted per-site constants become executable
+        # const_args ("compiled for 1596 inputs but called with 1549"),
+        # and even compiling the handle in-process poisons the later jit
+        # dispatch (second call dies with an opaque TPU InvalidArgument).
+        # Skip AOT entirely; the step's XLA-counted FLOPs are
+        # dropout-variant-invariant, so reuse the default-variant figure
+        # for the MFU denominator.
+        flops = 1800352301056.0
+        run = chained_train
+    else:
+        compiled = chained_train.lower(state).compile(
+            compiler_options=compiler_options or None)
+        flops = _compiled_flops(compiled)
+        run = compiled
+    out = run(state)
     jax.block_until_ready(out)
     times = []
     for _ in range(2):
         t0 = time.perf_counter()
-        out = compiled(out[0])
+        out = run(out[0])
         float(np.asarray(out[1]['total']))
         times.append(time.perf_counter() - t0)
     sec = min(times) / chain

@@ -150,6 +150,67 @@ class WNConv1d(nn.Module):
 # the 32-bit baseline for A/B runs.
 _DROPOUT_BITS = 16
 _DROPOUT_MUL = False
+# Stateless-backward dropout: REGENERATE the mask from the rng key in the
+# backward pass instead of letting XLA store the bits (or keep-mask)
+# between fwd and bwd.  The round-5 profile shows the stored-mask
+# round-trip as standalone copy_compare / multiply_select fusions
+# (~4.6 ms/step across the 48 coupling-WaveNet sites); the hardware RNG
+# re-draw is nearly free (rng-bit-generator totals 0.37 ms/step), so
+# trading storage for recompute is the right direction on a
+# bandwidth-bound step.  Gradients are bit-equal by construction (same
+# key → same bits → same mask).  Two formulations:
+#   _DROPOUT_STATELESS_BWD — custom_vjp pair.  BROKEN in this jax build:
+#     a custom_vjp anywhere in the step flips the whole program's closure
+#     consts into runtime const_args, and the jit fast path drops them on
+#     the second dispatch ("Execution supplied 1553 buffers but compiled
+#     program expected 1592" on CPU, opaque InvalidArgument on TPU).
+#     Kept for when the bug is fixed; reproduced in
+#     benchmarks/queue_logs/r5_variants.log.
+#   _DROPOUT_REMAT_MASK — jax.checkpoint around just the mask derivation
+#     (key → bits → keep).  Same effect (bwd recomputes the mask from the
+#     4-word key), no custom_vjp, no const bug.
+_DROPOUT_STATELESS_BWD = False
+_DROPOUT_REMAT_MASK = False
+
+
+def _stateless_dropout_fn(rate: float, nbits: int):
+    """Build (and cache) the custom_vjp dropout for a static (rate, width).
+
+    The mask derivation must match FastDropout's inline path exactly —
+    same rng_bit_generator call, same threshold — so flipping
+    ``_DROPOUT_STATELESS_BWD`` never changes values, only where the
+    backward's mask comes from.
+    """
+    cached = _stateless_dropout_cache.get((rate, nbits))
+    if cached is not None:
+        return cached
+
+    bits_dtype = {32: jnp.uint32, 16: jnp.uint16, 8: jnp.uint8}[nbits]
+    threshold = bits_dtype(int(round((1.0 - rate) * float(2 ** nbits) - 1)))
+    keep_prob = 1.0 - rate
+
+    def _apply(key4, v):
+        _, bits = jax.lax.rng_bit_generator(key4, v.shape, dtype=bits_dtype)
+        keep = bits <= threshold
+        scale = jnp.asarray(1.0 / keep_prob, v.dtype)
+        return jnp.where(keep, v * scale, jnp.zeros_like(v))
+
+    @jax.custom_vjp
+    def drop(key4, x):
+        return _apply(key4, x)
+
+    def drop_fwd(key4, x):
+        return _apply(key4, x), key4      # residual: 4 uint32 words, no mask
+
+    def drop_bwd(key4, g):
+        return None, _apply(key4, g)      # re-draw the identical mask
+
+    drop.defvjp(drop_fwd, drop_bwd)
+    _stateless_dropout_cache[(rate, nbits)] = drop
+    return drop
+
+
+_stateless_dropout_cache = {}
 
 
 class FastDropout(nn.Module):
@@ -177,12 +238,21 @@ class FastDropout(nn.Module):
             key = jax.random.key_data(key)
         rbg_key = jnp.tile(key.reshape(-1).astype(jnp.uint32), 2)[:4]
         nbits = _DROPOUT_BITS
+        if _DROPOUT_STATELESS_BWD and not _DROPOUT_MUL:
+            return _stateless_dropout_fn(float(self.rate), nbits)(rbg_key, x)
         bits_dtype = {32: jnp.uint32, 16: jnp.uint16, 8: jnp.uint8}[nbits]
-        _, bits = jax.lax.rng_bit_generator(rbg_key, x.shape,
-                                            dtype=bits_dtype)
         keep_prob = 1.0 - self.rate
         threshold = bits_dtype(int(round(keep_prob * float(2 ** nbits) - 1)))
-        keep = bits <= threshold
+
+        def _keep(key4):
+            _, bits = jax.lax.rng_bit_generator(key4, x.shape,
+                                                dtype=bits_dtype)
+            return bits <= threshold
+
+        if _DROPOUT_REMAT_MASK:
+            keep = jax.checkpoint(_keep)(rbg_key)
+        else:
+            keep = _keep(rbg_key)
         scale = jnp.asarray(1.0 / keep_prob, x.dtype)
         if _DROPOUT_MUL:
             return x * (keep.astype(x.dtype) * scale)

@@ -56,6 +56,39 @@ def test_rate_zero_and_deterministic_are_identity():
         np.asarray(mod.apply({}, x, deterministic=True)), np.asarray(x))
 
 
+def test_mask_regeneration_paths_are_bit_identical():
+    """The stateless-backward formulations (custom_vjp / remat-mask) must
+    produce bit-identical values AND gradients to the inline path — same
+    key → same hardware-RNG bits → same mask, by construction."""
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((16, 64)),
+                    jnp.float32)
+    key = jax.random.PRNGKey(21)
+    mod = layers.FastDropout(0.1)
+
+    def value_and_grad():
+        apply = lambda x: mod.apply({}, x, deterministic=False,
+                                    rngs={'dropout': key})
+        return (np.asarray(apply(x)),
+                np.asarray(jax.grad(lambda x: apply(x).sum())(x)))
+
+    try:
+        layers._DROPOUT_REMAT_MASK = False
+        layers._DROPOUT_STATELESS_BWD = False
+        v0, g0 = value_and_grad()
+        layers._DROPOUT_REMAT_MASK = True
+        v1, g1 = value_and_grad()
+        layers._DROPOUT_REMAT_MASK = False
+        layers._DROPOUT_STATELESS_BWD = True
+        v2, g2 = value_and_grad()
+    finally:
+        layers._DROPOUT_REMAT_MASK = False
+        layers._DROPOUT_STATELESS_BWD = False
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(g0, g1)
+    np.testing.assert_array_equal(v0, v2)
+    np.testing.assert_array_equal(g0, g2)
+
+
 def test_word_widths_share_the_contract():
     # the experiment harness flips these module globals; every width must
     # satisfy the same statistical contract (8-bit quantises rate 0.1 to
