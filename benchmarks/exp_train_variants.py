@@ -99,6 +99,10 @@ def main():
         # same regeneration via jax.checkpoint on the mask derivation —
         # sidesteps the custom_vjp const_args bug (see layers.py)
         layers._DROPOUT_REMAT_MASK = True
+    elif variant == 'no_tbc':
+        # disable time-major mask generation (the round-5 layout win:
+        # 22.2 → 20.7 ms/step; this variant recreates the 22.2 baseline)
+        layers._DROPOUT_TIME_MAJOR = False
     elif variant == 'default':
         pass                      # whatever layers.py currently ships
     elif variant == 'baseline':

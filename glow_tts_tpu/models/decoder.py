@@ -244,7 +244,8 @@ class WaveNet(nn.Module):
         for i in range(n):
             ins = WN(2 * ch, cfg.wavenet.kernel_size,
                            dtype=self.dtype, name=f'in_{i}')(x)
-            ins = FastDropout(cfg.wavenet.dropout_rate)(
+            ins = FastDropout(cfg.wavenet.dropout_rate,
+                              time_major_bits=True)(
                 ins, deterministic=deterministic)
             if speaker is not None:
                 ins = ins + WN(2 * ch, 1, dtype=self.dtype,

@@ -77,7 +77,8 @@ class TransformerBlock(nn.Module):
         x = Conv1d(cfg.conv.calc_channels, cfg.conv.kernel_size,
                    dtype=self.dtype, name='conv_0')(masked(x, mask))
         x = nn.relu(x)
-        x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
+        x = FastDropout(cfg.dropout_rate, time_major_bits=True)(
+            x, deterministic=deterministic)
         x = Conv1d(self.config.encoder.channels, cfg.conv.kernel_size,
                    dtype=self.dtype, name='conv_1')(masked(x, mask))
         x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
@@ -102,7 +103,8 @@ class DurationPredictor(nn.Module):
             x = Conv1d(cfg.channels, cfg.kernel_size, dtype=self.dtype,
                        name=f'conv_{i}')(masked(x, mask))
             x = nn.relu(x)
-            x = FastDropout(cfg.dropout_rate)(x, deterministic=deterministic)
+            x = FastDropout(cfg.dropout_rate, time_major_bits=True)(
+                x, deterministic=deterministic)
         x = Conv1d(1, 1, dtype=self.dtype, name='proj')(masked(x, mask))
         return masked(x, mask)                              # [B, T, 1]
 

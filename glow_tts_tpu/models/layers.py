@@ -126,6 +126,12 @@ class WNConv1d(nn.Module):
         if self.dtype is not None:
             kernel = kernel.astype(self.dtype)
             x = x.astype(self.dtype)
+        # NOTE: 1×1 convs deliberately stay conv_general_dilated.  The
+        # round-5 A/B (benchmarks/exp_variants_r5.jsonl 'wn1x1dot')
+        # measured the "free XLA of conv layout constraints" rewrite
+        # (1×1 → x @ kernel[0]) at 23.24 ms/step vs 20.80 conv — the
+        # conv epilogue fusions beat the dot's layout preferences even
+        # though the conv backward costs 24 relayout copies per step.
         out = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1,),
             padding=[((self.kernel_size - 1) // 2,
@@ -171,9 +177,35 @@ _DROPOUT_MUL = False
 #     4-word key), no custom_vjp, no const bug.
 _DROPOUT_STATELESS_BWD = False
 _DROPOUT_REMAT_MASK = False
+# Kill switch for the time-major mask generation below (A/B harness:
+# benchmarks/exp_train_variants.py 'no_tbc').
+_DROPOUT_TIME_MAJOR = True
 
 
-def _stateless_dropout_fn(rate: float, nbits: int):
+def _rng_bits(key4, shape, bits_dtype, time_major):
+    """Draw mask words, optionally in time-major [T, B, C] order.
+
+    At the profiled hot sites (WaveNet gate dropout, encoder FFN hidden)
+    the consuming fusions read the mask in physical [T, B, C] order (XLA
+    layout ``{2,0,1}``) while ``rng_bit_generator`` emits its logical
+    shape row-major (``{2,1,0}``): the compiled train step re-laid every
+    WaveNet gate mask out TWICE — 96 in-fusion ``u16[32,384,384]`` copies,
+    ~0.9 GB/step of strided traffic (round-5 HLO dump,
+    ``benchmarks/dump_hlo.py``).  Generating the bits with the logical
+    shape already permuted to [T, B, C] and transposing back makes the
+    transpose a layout bitcast, so consumers read the rng output directly.
+    Value contract is unchanged (a different but equally-random stream).
+    """
+    if time_major and _DROPOUT_TIME_MAJOR and len(shape) == 3:
+        t, b, c = shape[1], shape[0], shape[2]
+        _, bits = jax.lax.rng_bit_generator(key4, (t, b, c),
+                                            dtype=bits_dtype)
+        return jax.lax.transpose(bits, (1, 0, 2))
+    _, bits = jax.lax.rng_bit_generator(key4, shape, dtype=bits_dtype)
+    return bits
+
+
+def _stateless_dropout_fn(rate: float, nbits: int, time_major: bool):
     """Build (and cache) the custom_vjp dropout for a static (rate, width).
 
     The mask derivation must match FastDropout's inline path exactly —
@@ -181,7 +213,7 @@ def _stateless_dropout_fn(rate: float, nbits: int):
     ``_DROPOUT_STATELESS_BWD`` never changes values, only where the
     backward's mask comes from.
     """
-    cached = _stateless_dropout_cache.get((rate, nbits))
+    cached = _stateless_dropout_cache.get((rate, nbits, time_major))
     if cached is not None:
         return cached
 
@@ -190,7 +222,7 @@ def _stateless_dropout_fn(rate: float, nbits: int):
     keep_prob = 1.0 - rate
 
     def _apply(key4, v):
-        _, bits = jax.lax.rng_bit_generator(key4, v.shape, dtype=bits_dtype)
+        bits = _rng_bits(key4, v.shape, bits_dtype, time_major)
         keep = bits <= threshold
         scale = jnp.asarray(1.0 / keep_prob, v.dtype)
         return jnp.where(keep, v * scale, jnp.zeros_like(v))
@@ -206,7 +238,7 @@ def _stateless_dropout_fn(rate: float, nbits: int):
         return None, _apply(key4, g)      # re-draw the identical mask
 
     drop.defvjp(drop_fwd, drop_bwd)
-    _stateless_dropout_cache[(rate, nbits)] = drop
+    _stateless_dropout_cache[(rate, nbits, time_major)] = drop
     return drop
 
 
@@ -228,6 +260,13 @@ class FastDropout(nn.Module):
     promises anything about).
     """
     rate: float
+    # Generate 3-D masks in time-major [T, B, C] order so the bits land in
+    # the physical layout the consuming fusions read (see _rng_bits).
+    # Opt-in per call site: the profiled win sites are the WaveNet gate
+    # dropout and the encoder FFN/duration-predictor hiddens; the
+    # post-attention residual sites get layout {1,2,0} from XLA already
+    # copy-free and would regress.
+    time_major_bits: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -239,14 +278,15 @@ class FastDropout(nn.Module):
         rbg_key = jnp.tile(key.reshape(-1).astype(jnp.uint32), 2)[:4]
         nbits = _DROPOUT_BITS
         if _DROPOUT_STATELESS_BWD and not _DROPOUT_MUL:
-            return _stateless_dropout_fn(float(self.rate), nbits)(rbg_key, x)
+            return _stateless_dropout_fn(
+                float(self.rate), nbits, self.time_major_bits)(rbg_key, x)
         bits_dtype = {32: jnp.uint32, 16: jnp.uint16, 8: jnp.uint8}[nbits]
         keep_prob = 1.0 - self.rate
         threshold = bits_dtype(int(round(keep_prob * float(2 ** nbits) - 1)))
 
         def _keep(key4):
-            _, bits = jax.lax.rng_bit_generator(key4, x.shape,
-                                                dtype=bits_dtype)
+            bits = _rng_bits(key4, x.shape, bits_dtype,
+                             self.time_major_bits)
             return bits <= threshold
 
         if _DROPOUT_REMAT_MASK:

@@ -89,6 +89,47 @@ def test_mask_regeneration_paths_are_bit_identical():
     np.testing.assert_array_equal(g0, g2)
 
 
+def test_time_major_bits_shares_the_contract():
+    """time_major_bits permutes only the GENERATION order of the mask
+    words (a layout optimisation — see layers._rng_bits); the dropout
+    contract (rate, scale, determinism, key sensitivity) is unchanged,
+    and the stateless-backward path must reproduce the same stream."""
+    rate, shape = 0.1, (8, 96, 64)
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(shape),
+                    jnp.float32)
+    key = jax.random.PRNGKey(13)
+    mod = layers.FastDropout(rate, time_major_bits=True)
+    apply = lambda: np.asarray(
+        jax.jit(lambda k: mod.apply({}, x, deterministic=False,
+                                    rngs={'dropout': k}))(key))
+    a, b = apply(), apply()
+    np.testing.assert_array_equal(a, b)
+    drop_frac = float((a == 0).mean())
+    assert abs(drop_frac - rate) < 0.02, drop_frac
+    kept = a[a != 0] / np.asarray(x)[a != 0]
+    np.testing.assert_allclose(kept, 1.0 / (1.0 - rate), rtol=1e-5)
+
+    # stateless-backward regeneration matches the inline stream bit-exactly
+    try:
+        layers._DROPOUT_STATELESS_BWD = True
+        c = apply()
+    finally:
+        layers._DROPOUT_STATELESS_BWD = False
+    np.testing.assert_array_equal(a, c)
+
+    # the kill switch restores the row-major stream (different bits)
+    try:
+        layers._DROPOUT_TIME_MAJOR = False
+        d = apply()
+    finally:
+        layers._DROPOUT_TIME_MAJOR = True
+    assert (a != d).any()
+    base = np.asarray(jax.jit(
+        lambda k: layers.FastDropout(rate).apply(
+            {}, x, deterministic=False, rngs={'dropout': k}))(key))
+    np.testing.assert_array_equal(base, d)
+
+
 def test_word_widths_share_the_contract():
     # the experiment harness flips these module globals; every width must
     # satisfy the same statistical contract (8-bit quantises rate 0.1 to

@@ -19,17 +19,18 @@ from tests.helpers import synthetic_batch, tiny_config
 GOLDEN_EVAL0 = {'duration': 0.569171, 'mle': 2.680661, 'total': 3.249831}
 # Train-step pins re-recorded whenever the dropout bit stream legitimately
 # changes — round 3: threefry → hardware RNG (layers.FastDropout);
-# round 5: 32-bit → 16-bit mask words (the measured train-step win,
-# layers._DROPOUT_BITS).  Identical functional semantics, different random
-# bits, so the exact loss trajectory moves (eval0 above did NOT, proving
-# the deterministic path is untouched).
+# round 5: 32-bit → 16-bit mask words, then time-major mask generation at
+# the hot sites (layers.FastDropout.time_major_bits — kills 119 in-fusion
+# mask relayout copies, train step 22.2 → 20.7 ms/step on v5e).  Identical
+# functional semantics, different random bits, so the exact loss trajectory
+# moves (eval0 above did NOT, proving the deterministic path is untouched).
 GOLDEN_STEPS = [
-    {'duration': 0.787326, 'mle': 2.622597, 'total': 3.409923,
-     'grad_norm': 12.127121},
-    {'duration': 0.717892, 'mle': 2.551459, 'total': 3.269351,
-     'grad_norm': 9.205126},
-    {'duration': 0.690742, 'mle': 2.575523, 'total': 3.266266,
-     'grad_norm': 10.537647},
+    {'duration': 0.878132, 'mle': 2.465242, 'total': 3.343374,
+     'grad_norm': 10.62335},
+    {'duration': 0.509285, 'mle': 2.614827, 'total': 3.124112,
+     'grad_norm': 9.318247},
+    {'duration': 0.693431, 'mle': 2.364841, 'total': 3.058272,
+     'grad_norm': 8.779524},
 ]
 
 
