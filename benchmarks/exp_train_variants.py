@@ -103,6 +103,10 @@ def main():
         # disable time-major mask generation (the round-5 layout win:
         # 22.2 → 20.7 ms/step; this variant recreates the 22.2 baseline)
         layers._DROPOUT_TIME_MAJOR = False
+    elif variant == 'no_skew':
+        # disable the skewed-table relative attention (restores the
+        # pad/reshape rel↔abs shuffle path of rounds 1-4)
+        layers._ATTN_SKEW_TABLE = False
     elif variant == 'default':
         pass                      # whatever layers.py currently ships
     elif variant == 'baseline':

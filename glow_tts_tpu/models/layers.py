@@ -180,6 +180,9 @@ _DROPOUT_REMAT_MASK = False
 # Kill switch for the time-major mask generation below (A/B harness:
 # benchmarks/exp_train_variants.py 'no_tbc').
 _DROPOUT_TIME_MAJOR = True
+# Kill switch for the skewed-table relative attention (A/B harness
+# 'no_skew'): False restores the pad/reshape rel↔abs shuffle path.
+_ATTN_SKEW_TABLE = True
 
 
 def _rng_bits(key4, shape, bits_dtype, time_major):
@@ -396,9 +399,27 @@ class RelativePositionMultiHeadAttention(nn.Module):
             emb_k = self.param('rel_emb_k', init,
                                (n_tables, 2 * self.window_size + 1, d))
             rel_k = attn_ops.clip_relative_embedding(emb_k, t_k)
-            rel_scores = jnp.einsum('bhqd,nrd->bhqr', q, rel_k,
-                                    preferred_element_type=jnp.float32)
-            scores = scores + attn_ops.relative_to_absolute(rel_scores) * scale
+            if _ATTN_SKEW_TABLE:
+                # skewed-table einsum: no [B,H,T,2T-1] activation, no
+                # rel→abs relayout shuffle (see skewed_relative_table)
+                skew_k = attn_ops.skewed_relative_table(rel_k, t_k)
+                if self.heads_share:
+                    rel_abs = jnp.einsum(
+                        'bhqd,qkd->bhqk', q, skew_k[0],
+                        preferred_element_type=jnp.float32)
+                else:
+                    rel_abs = jnp.einsum(
+                        'bhqd,hqkd->bhqk', q, skew_k,
+                        preferred_element_type=jnp.float32)
+            else:
+                # 'n' must broadcast per-head (reference matmul semantics),
+                # not contract: with heads_share=False the n axis is h.
+                eq = 'bhqd,nrd->bhqr' if self.heads_share else \
+                     'bhqd,hrd->bhqr'
+                rel_scores = jnp.einsum(eq, q, rel_k,
+                                        preferred_element_type=jnp.float32)
+                rel_abs = attn_ops.relative_to_absolute(rel_scores)
+            scores = scores + rel_abs * scale
 
         if self.proximal_bias:
             scores = scores + attn_ops.proximal_bias(t_k, scores.dtype)
@@ -425,10 +446,25 @@ class RelativePositionMultiHeadAttention(nn.Module):
                                (1 if self.heads_share else h,
                                 2 * self.window_size + 1, d))
             rel_v = attn_ops.clip_relative_embedding(emb_v, t_k)
-            rel_w = attn_ops.absolute_to_relative(alignments)
-            out = out + jnp.einsum('bhqr,nrd->bhqd',
-                                   rel_w.astype(rel_v.dtype), rel_v,
-                                   preferred_element_type=jnp.float32)
+            if _ATTN_SKEW_TABLE:
+                skew_v = attn_ops.skewed_relative_table(rel_v, t_k)
+                if self.heads_share:
+                    out = out + jnp.einsum(
+                        'bhqk,qkd->bhqd',
+                        alignments.astype(rel_v.dtype), skew_v[0],
+                        preferred_element_type=jnp.float32)
+                else:
+                    out = out + jnp.einsum(
+                        'bhqk,hqkd->bhqd',
+                        alignments.astype(rel_v.dtype), skew_v,
+                        preferred_element_type=jnp.float32)
+            else:
+                rel_w = attn_ops.absolute_to_relative(alignments)
+                eq = 'bhqr,nrd->bhqd' if self.heads_share else \
+                     'bhqr,hrd->bhqd'
+                out = out + jnp.einsum(eq,
+                                       rel_w.astype(rel_v.dtype), rel_v,
+                                       preferred_element_type=jnp.float32)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, t_q, self.calc_channels)
         out = nn.Dense(self.out_channels, dtype=self.dtype,
